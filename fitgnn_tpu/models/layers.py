@@ -1,0 +1,124 @@
+"""Message-passing layers on the fitgnn_tpu segment/SpMM ops.
+
+First-party replacements for the PyG conv layers the reference selects by
+name (``network.py:13-21``, ``getattr(pyg_nn, args.layer_name)``): GCNConv,
+GATConv, SAGEConv, GINConv.  Semantics follow the PyG defaults the reference
+relies on:
+
+* GCNConv  — symmetric D^-1/2 (A+I) D^-1/2 aggregation of W·x (+bias).
+  The normalized weights are precomputed in ``graph.build`` so the layer is
+  one dense matmul (MXU) + one weighted SpMM.
+* GATConv  — per-head additive attention, segment-softmax over incoming
+  edges (self loops included), LeakyReLU(0.2).
+* SAGEConv — W_l·mean_neigh(x) + W_r·x; self loops excluded from the mean.
+* GINConv  — MLP((1+eps)·x + Σ_neigh x) with trainable eps and the
+  reference's 2-layer ReLU MLP (``network.py:19-21``).
+
+All layers take the padded ``Graph`` container; padding edges are excluded
+via the weight vector (GCN) or the edge mask (others).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from fitgnn_tpu.graph.container import Graph
+from fitgnn_tpu.ops.segment import segment_mean, segment_softmax, segment_sum
+from fitgnn_tpu.ops.spmm import spmm_coo
+
+
+def _nonself_weight(g: Graph) -> jnp.ndarray:
+    """1.0 on real non-self-loop edges, else 0 (padding edges are self loops
+    on the padding node, so they drop out automatically)."""
+    return jnp.where(g.senders != g.receivers, 1.0, 0.0).astype(g.x.dtype)
+
+
+class GCNConv(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
+        h = nn.Dense(self.features, use_bias=False, name="lin")(x)
+        out = spmm_coo(g.edge_weight, g.senders, g.receivers, h,
+                       g.num_nodes_padded)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,), x.dtype)
+        return out
+
+
+class GATConv(nn.Module):
+    features: int            # per-head output channels
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
+        n, h_, c = g.num_nodes_padded, self.heads, self.features
+        h = nn.Dense(h_ * c, use_bias=False, name="lin")(x).reshape(n, h_, c)
+        a_src = self.param("att_src", nn.initializers.glorot_uniform(), (h_, c))
+        a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (h_, c))
+        score_src = jnp.sum(h * a_src, axis=-1)          # (N, H)
+        score_dst = jnp.sum(h * a_dst, axis=-1)          # (N, H)
+        e = score_src[g.senders] + score_dst[g.receivers]  # (E, H)
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        alpha = segment_softmax(e, g.receivers, n, mask=g.edge_mask)  # (E, H)
+        msg = h[g.senders] * alpha[..., None]            # (E, H, C)
+        out = segment_sum(msg, g.receivers, n)           # (N, H, C)
+        if self.concat:
+            out = out.reshape(n, h_ * c)
+            bias_dim = h_ * c
+        else:
+            out = out.mean(axis=1)
+            bias_dim = c
+        return out + self.param("bias", nn.initializers.zeros,
+                                (bias_dim,), x.dtype)
+
+
+class SAGEConv(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
+        w = _nonself_weight(g)
+        neigh = segment_mean(x[g.senders], g.receivers, g.num_nodes_padded,
+                             mask=w > 0)
+        out = nn.Dense(self.features, use_bias=True, name="lin_l")(neigh)
+        out = out + nn.Dense(self.features, use_bias=False, name="lin_r")(x)
+        return out
+
+
+class GINConv(nn.Module):
+    features: int
+    mlp_hidden: int | None = None  # defaults to ``features``
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
+        w = _nonself_weight(g)
+        aggr = spmm_coo(w, g.senders, g.receivers, x, g.num_nodes_padded)
+        eps = self.param("eps", nn.initializers.zeros, ())
+        h = (1.0 + eps) * x + aggr
+        hidden = self.mlp_hidden or self.features
+        h = nn.relu(nn.Dense(hidden, name="mlp_0")(h))
+        h = nn.relu(nn.Dense(self.features, name="mlp_1")(h))
+        return h
+
+
+LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
+    "GCNConv": GCNConv,
+    "GATConv": GATConv,
+    "SAGEConv": SAGEConv,
+    "GINConv": GINConv,
+}
+
+
+def make_layer(layer_name: str, features: int) -> nn.Module:
+    if layer_name not in LAYER_REGISTRY:
+        raise ValueError(
+            f"unknown layer {layer_name!r}; choose from {sorted(LAYER_REGISTRY)}")
+    return LAYER_REGISTRY[layer_name](features=features)

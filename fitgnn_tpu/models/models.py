@@ -1,0 +1,120 @@
+"""Task models: conv stack + node/graph heads.
+
+The reference's six model classes (``network.py:8-204``) collapse to two
+parametrized models sharing one ``ConvStack``:
+
+* ``NodeModel``  — convs → Dense head; log_softmax (cls) or raw scalar (reg).
+  (= ``Classify_node`` / ``Regress_node``, ``network.py:8,37``)
+* ``GraphModel`` — convs → masked segment pool (max for cls, mean for reg)
+  over per-graph segments → Dense head; softmax for cls.
+  (= ``Classify_graph_gc/gs`` / ``Regress_graph_gc/gs``, ``network.py:66-204``)
+
+The Gc and Gs variants use the *same* parameters (identical shapes), which is
+what makes the reference's Gc→Gs weight transfer (``run.py:360,601``) a no-op
+pytree copy here.  The Gs forward (reference's nested Python loop,
+``network.py:118-135``) becomes a vmap of the conv stack over a padded
+``SubgraphBatch`` + one masked segment pool.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from fitgnn_tpu.graph.container import Graph, SubgraphBatch
+from fitgnn_tpu.models.layers import make_layer
+from fitgnn_tpu.ops.segment import segment_max, segment_mean
+
+
+class ConvStack(nn.Module):
+    """num_layers convs, each followed by ELU + dropout(0.5) (network.py:29-33)."""
+
+    layer_name: str
+    hidden: int
+    num_layers: int
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
+        for i in range(self.num_layers):
+            x = make_layer(self.layer_name, self.hidden)(x, g)
+            x = nn.elu(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class NodeModel(nn.Module):
+    layer_name: str
+    hidden: int
+    num_layers: int
+    out_dim: int          # num_classes, or 1 for regression
+    classify: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
+        x = ConvStack(self.layer_name, self.hidden, self.num_layers,
+                      name="convs")(x, g, train=train)
+        x = nn.Dense(self.out_dim, name="head")(x)
+        if self.classify:
+            return nn.log_softmax(x, axis=-1)
+        return x
+
+
+class GraphModel(nn.Module):
+    """Graph-level model; call with either a batched coarse graph (`gc` path,
+    node→graph segment ids) or a SubgraphBatch (`gs` path)."""
+
+    layer_name: str
+    hidden: int
+    num_layers: int
+    out_dim: int
+    classify: bool = True   # True: max-pool + softmax; False: mean-pool, raw
+
+    def setup(self):
+        self.convs = ConvStack(self.layer_name, self.hidden, self.num_layers)
+        self.head = nn.Dense(self.out_dim)
+
+    def _pool_and_head(self, h, segment_ids, num_graphs, mask):
+        if self.classify:
+            pooled = segment_max(h, segment_ids, num_graphs, mask=mask,
+                                 indices_are_sorted=False)
+        else:
+            pooled = segment_mean(h, segment_ids, num_graphs, mask=mask,
+                                  indices_are_sorted=False)
+        out = self.head(pooled)
+        if self.classify:
+            return nn.softmax(out, axis=-1)
+        return out
+
+    def __call__(self, x, g: Graph, graph_ids: jnp.ndarray, num_graphs: int,
+                 *, train: bool = False):
+        """Gc path: ``g`` is a batched (block-diagonal) graph; ``graph_ids``
+        assigns each node to its sample (PyG ``batch``)."""
+        h = self.convs(x, g, train=train)
+        return self._pool_and_head(h, graph_ids, num_graphs, g.node_mask)
+
+    def forward_subgraphs(self, batch: SubgraphBatch, graph_ids: jnp.ndarray,
+                          num_graphs: int, *, train: bool = False):
+        """Gs path: run the conv stack per subgraph (vmapped), then pool the
+        consuming-node rows across all subgraphs of each sample.
+
+        ``graph_ids``: (S, N_pad) graph id per node slot (same for all slots
+        of one subgraph); non-consuming slots are excluded via consume_mask.
+        """
+        gb = Graph(x=batch.x, senders=batch.senders, receivers=batch.receivers,
+                   edge_weight=batch.edge_weight, n_node=batch.n_node,
+                   n_edge=batch.n_edge)
+        h = nn.vmap(
+            lambda mdl, x, g: mdl(x, g, train=train),
+            variable_axes={"params": None},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0, 0),
+        )(self.convs, batch.x, gb)
+
+        flat_h = h.reshape(-1, h.shape[-1])
+        flat_ids = graph_ids.reshape(-1)
+        flat_mask = batch.consume_mask.reshape(-1)
+        return self._pool_and_head(flat_h, flat_ids, num_graphs, flat_mask)

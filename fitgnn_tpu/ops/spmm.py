@@ -1,0 +1,40 @@
+"""SpMM: sparse adjacency × dense features, the GNN hot op.
+
+Two execution paths, both differentiable:
+
+* ``spmm_coo``  — gather + sorted ``segment_sum``; XLA fuses this into a
+  single scatter loop and it is the robust default for arbitrary sparsity.
+* BCSR Pallas kernel (``fitgnn_tpu.ops.pallas.bsr_spmm``) — community-reordered
+  graphs give dense 128×128 adjacency tiles, which we multiply on the MXU.
+  Selected by ``spmm`` when a precomputed ``BsrMatrix`` is supplied.
+
+This is the first-party replacement for ``torch_sparse`` SpMM (reference hot
+loop #1, SURVEY §3 — PyG conv → torch_scatter SpMM).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fitgnn_tpu.ops.segment import segment_sum
+
+
+def spmm_coo(edge_weight: jnp.ndarray, senders: jnp.ndarray,
+             receivers: jnp.ndarray, x: jnp.ndarray, num_nodes: int,
+             indices_are_sorted: bool = True) -> jnp.ndarray:
+    """out[r] = Σ_{e: recv[e]=r} w[e] · x[send[e]]  — (N, F) result.
+
+    Padding edges must have weight 0 (they then contribute nothing even
+    though they point at the padding node).
+    """
+    gathered = x[senders] * edge_weight[:, None].astype(x.dtype)
+    return segment_sum(gathered, receivers, num_nodes,
+                       indices_are_sorted=indices_are_sorted)
+
+
+def spmm(edge_weight, senders, receivers, x, num_nodes, *, bsr=None):
+    """Dispatch: BCSR Pallas path if a block-sparse structure is given."""
+    if bsr is not None:
+        from fitgnn_tpu.ops.pallas.bsr_spmm import bsr_spmm
+        return bsr_spmm(bsr, x)
+    return spmm_coo(edge_weight, senders, receivers, x, num_nodes)
