@@ -1,0 +1,95 @@
+"""Spectral machinery for coarsening: bottom-K Laplacian eigenbasis and
+smoothed test vectors.
+
+Replaces the reference's ARPACK usage (``coarsening_utils.py:83-96``) and
+Gauss–Seidel/Jacobi relaxation (``:814-854``).  The eigensolve uses the
+shift-invert-free trick: bottom-K of L = top-K of (offset·I − L) with
+offset = 2·max(deg), which keeps ARPACK in its fast LM mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from fitgnn_tpu.coarsen.lapgraph import LapGraph
+
+
+def bottom_k_eigen(g: LapGraph, k: int, tol: float = 1e-5):
+    """Bottom-k eigenpairs of the combinatorial Laplacian. Returns (lk, Uk)
+    with ascending eigenvalues."""
+    n = g.N
+    k = min(k, n - 1) if n > 1 else 1
+    if n <= max(3 * k, 60):  # small: dense is faster and exact
+        lk, Uk = np.linalg.eigh(g.L.toarray())
+        return lk[:k], Uk[:, :k]
+    offset = 2.0 * float(g.dw.max()) if g.dw.size else 2.0
+    T = offset * sp.eye(n, format="csr") - g.L
+    lam, U = spla.eigsh(T, k=k, which="LM", tol=tol)
+    lk = (offset - lam)[::-1]
+    Uk = U[:, ::-1]
+    return lk, Uk
+
+
+def variation_basis(g: LapGraph, k: int):
+    """A = Uk · diag(λ^-1/2) — the subspace whose variation coarsening must
+    preserve (zero eigenvalues give zero columns)."""
+    lk, Uk = bottom_k_eigen(g, k)
+    mask = lk < 1e-10
+    safe = np.where(mask, 1.0, lk)
+    lsinv = safe ** -0.5
+    lsinv[mask] = 0.0
+    return Uk * lsinv[None, :]
+
+
+def propagate_basis(B: np.ndarray, iC: sp.spmatrix, L_coarse: sp.spmatrix):
+    """Carry the variation basis one level down: B ← iC·B, then re-orthogonalize
+    against the coarse Laplacian (reference ``coarsening_utils.py:98-106``)."""
+    B = iC @ B
+    M = B.T @ (L_coarse @ B)
+    # M is symmetric PSD up to numerics
+    d, V = np.linalg.eigh((M + M.T) * 0.5)
+    mask = d <= 1e-12
+    safe = np.where(mask, 1.0, d)
+    dinvsqrt = safe ** -0.5
+    dinvsqrt[mask] = 0.0
+    return B @ (V * dinvsqrt[None, :])
+
+
+def smoothed_vectors(g: LapGraph, num_vectors: int, method: str = "JC",
+                     iterations: int = 20, seed: int = 0) -> np.ndarray:
+    """Relaxed random test vectors: 'JC' (damped Jacobi) or 'GS' (Gauss–Seidel).
+
+    Matches the reference's generator semantics (``:814-854``): X ~ N(0,1)/√N,
+    JC: x ← ½x + ½ D⁻¹(D−L)x ; GS: x ← −(L_lower+D)⁻¹ L_upper x.
+    """
+    rng = np.random.default_rng(seed)
+    n = g.N
+    X = rng.standard_normal((n, num_vectors)) / np.sqrt(n)
+    L = g.L.tocsr()
+    if method in ("JC", "Jacobi"):
+        deg = g.dw.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            deginv = np.where(deg > 0, 1.0 / np.maximum(deg, 1e-300), 0.0)
+        # M = D^-1 (D - L) = I - D^-1 L  (W row-normalized)
+        M = sp.diags(deginv) @ (sp.diags(deg) - L)
+        for _ in range(iterations):
+            X = 0.5 * X + 0.5 * (M @ X)
+        return X
+    if method in ("GS", "Gauss-Seidel"):
+        # isolated nodes give a singular lower factor; regularize their
+        # diagonal (their relaxed value is irrelevant — no incident edges)
+        diag = L.diagonal()
+        if np.any(diag == 0):
+            L = L + sp.diags(np.where(diag == 0, 1.0, 0.0))
+        upper = sp.triu(L, 1, format="csr")
+        lower_diag = sp.csr_matrix(sp.triu(L, 0, format="csc").T)
+        for j in range(num_vectors):
+            x = X[:, j]
+            for _ in range(iterations):
+                rhs = upper @ x
+                x = -spla.spsolve_triangular(lower_diag, rhs, lower=True)
+            X[:, j] = x
+        return X
+    raise ValueError(f"unknown smoother {method!r}")
