@@ -1,0 +1,153 @@
+"""Experiment-setup orchestration for node tasks.
+
+The state machine of the reference's ``node_classification`` /
+``node_regression`` runners (``run.py:329-574``): per-run model init, the
+three experiment setups —
+
+* ``Gc_train_2_Gs_infer``  — train on the coarse graph (best-val Gc
+  checkpoint), infer on subgraphs,
+* ``Gs_train_2_Gs_infer``  — train directly on subgraphs,
+* ``Gc_train_2_Gs_train``  — coarse pre-training, then subgraph fine-tuning
+  (the weight transfer is the same params pytree — no state-dict file hop),
+
+with best-validation checkpointing (kept on device) and GD/MB gradient modes.
+Multi-run statistics (mean, top-10, best) match the reference's reporting
+(``run.py:477-506``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from fitgnn_tpu.graph.container import SubgraphBatch
+from fitgnn_tpu.models.models import NodeModel
+from fitgnn_tpu.partition.pipeline import CoarseData
+from fitgnn_tpu.train import steps
+
+EXP_SETUPS = ("Gc_train_2_Gs_infer", "Gs_train_2_Gs_infer",
+              "Gc_train_2_Gs_train")
+
+
+@dataclasses.dataclass
+class RunResult:
+    test_loss: float
+    test_acc: float
+    test_time: float
+
+
+@dataclasses.dataclass
+class TaskResult:
+    runs: List[RunResult]
+
+    @property
+    def summary(self) -> dict:
+        accs = np.array([r.test_acc for r in self.runs])
+        losses = np.array([r.test_loss for r in self.runs])
+        times = np.array([r.test_time for r in self.runs])
+        top_acc = np.sort(accs)[::-1][:10]
+        top_loss = np.sort(losses)[:10]
+        return {
+            "ave_acc": float(accs.mean()), "std_acc": float(accs.std()),
+            "ave_time": float(times.mean()),
+            "top_10_acc": float(top_acc.mean()),
+            "top_10_acc_std": float(top_acc.std()),
+            "best_acc": float(top_acc[0]) if len(top_acc) else 0.0,
+            "top_10_loss": float(top_loss.mean()),
+            "top_10_loss_std": float(top_loss.std()),
+            "best_loss": float(top_loss[0]) if len(top_loss) else 0.0,
+        }
+
+
+@dataclasses.dataclass
+class NodeTaskConfig:
+    layer_name: str = "GCNConv"
+    hidden: int = 512
+    num_layers: int = 2
+    task: str = "classification"          # or "regression"
+    out_dim: int = 2                      # num_classes or 1
+    exp_setup: str = "Gc_train_2_Gs_infer"
+    epochs1: int = 100
+    epochs2: int = 300
+    lr: float = 0.01
+    weight_decay: float = 5e-4
+    gradient_method: str = "GD"           # or "MB"
+    runs: int = 1
+    seed: int = 0
+
+
+def _gs_train_epoch(state, batch, rng, cfg):
+    if cfg.gradient_method == "GD":
+        return steps.gs_train_step_gd(state, batch, rng, cfg.task)
+    return steps.gs_train_epoch_mb(state, batch, rng, cfg.task)
+
+
+def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
+                  batch: SubgraphBatch, verbose: bool = False) -> TaskResult:
+    if cfg.exp_setup not in EXP_SETUPS:
+        raise ValueError(f"exp_setup must be one of {EXP_SETUPS}")
+    if cfg.exp_setup != "Gs_train_2_Gs_infer" and coarse is None:
+        raise ValueError(f"{cfg.exp_setup} requires a coarse graph")
+
+    model = NodeModel(layer_name=cfg.layer_name, hidden=cfg.hidden,
+                      num_layers=cfg.num_layers, out_dim=cfg.out_dim,
+                      classify=cfg.task == "classification")
+    results: List[RunResult] = []
+    for run in range(cfg.runs):
+        rng = jax.random.PRNGKey(cfg.seed + run)
+        rng, init_rng = jax.random.split(rng)
+        example = coarse.graph if coarse is not None else batch.subgraph(0)
+        state = steps.create_state(model, init_rng, example.x, example,
+                                   lr=cfg.lr, weight_decay=cfg.weight_decay)
+
+        best_params = state.params
+        best_val = np.inf
+
+        if cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train"):
+            for epoch in range(cfg.epochs1):
+                rng, step_rng = jax.random.split(rng)
+                state, _ = steps.gc_train_step(
+                    state, coarse.graph, coarse.y_train, coarse.train_mask,
+                    step_rng, cfg.task)
+                val_loss, _ = steps.gc_eval_step(
+                    state, coarse.graph, coarse.y_val, coarse.val_mask,
+                    cfg.task)
+                val_loss = float(val_loss)
+                if val_loss < best_val or epoch == 0:
+                    best_val = val_loss
+                    best_params = state.params
+
+        if cfg.exp_setup in ("Gs_train_2_Gs_infer", "Gc_train_2_Gs_train"):
+            if cfg.exp_setup == "Gc_train_2_Gs_train":
+                # weight transfer: resume from the best Gc params
+                state = state.replace(params=best_params)
+            best_val = np.inf
+            for epoch in range(cfg.epochs2):
+                rng, step_rng = jax.random.split(rng)
+                state, _ = _gs_train_epoch(state, batch, step_rng, cfg)
+                val_loss, _ = steps.gs_eval_step(state, batch, cfg.task,
+                                                 split="val")
+                val_loss = float(val_loss)
+                if val_loss < best_val or epoch == 0:
+                    best_val = val_loss
+                    best_params = state.params
+
+        # test with the best-val params, timed (post-compile re-run)
+        state = state.replace(params=best_params)
+        steps.gs_eval_step(state, batch, cfg.task, split="test")  # warm-up
+        t0 = time.perf_counter()
+        test_loss, test_metric = steps.gs_eval_step(
+            state, batch, cfg.task, split="test")
+        test_loss = float(test_loss)
+        test_metric = float(test_metric)
+        elapsed = time.perf_counter() - t0
+        results.append(RunResult(test_loss=test_loss, test_acc=test_metric,
+                                 test_time=elapsed))
+        if verbose:
+            print(f"run {run}: test_loss={test_loss:.4f} "
+                  f"metric={test_metric:.4f}")
+    return TaskResult(runs=results)

@@ -1,0 +1,53 @@
+"""Masked losses and metrics (device-side, jit-friendly).
+
+Replace the reference's torch losses + streaming numpy evaluators
+(``NLLLoss_numpy``/``L1Loss_numpy``, ``utils.py:910-988``): instead of
+shipping activations to host per subgraph, masked reductions run on device
+across the whole padded batch and only the scalars come back.
+Regression losses are normalized by std(labels) like the reference
+(``run.py:110,168,210``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def masked_nll(log_probs: jnp.ndarray, labels: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean negative log-likelihood over masked rows.
+    ``log_probs``: (..., C); ``labels``: (...,) int; ``mask``: (...,) bool."""
+    picked = jnp.take_along_axis(
+        log_probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    m = mask.astype(log_probs.dtype)
+    total = jnp.sum(-picked * m)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    return total / count
+
+
+def masked_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute error over masked rows (pred squeezed to target shape)."""
+    pred = pred.reshape(target.shape)
+    m = mask.astype(pred.dtype)
+    total = jnp.sum(jnp.abs(pred - target) * m)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    return total / count
+
+
+def masked_l1_std_normalized(pred, target, mask):
+    """L1 / std(target over mask) — the reference's regression metric."""
+    l1 = masked_l1(pred, target, mask)
+    m = mask.astype(pred.dtype)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(target * m) / count
+    var = jnp.sum(((target - mean) ** 2) * m) / count
+    return l1 / jnp.maximum(jnp.sqrt(var), 1e-12)
+
+
+def masked_accuracy(log_probs: jnp.ndarray, labels: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    pred = jnp.argmax(log_probs, axis=-1)
+    m = mask.astype(jnp.float32)
+    correct = jnp.sum((pred == labels).astype(jnp.float32) * m)
+    return correct / jnp.maximum(jnp.sum(m), 1.0)

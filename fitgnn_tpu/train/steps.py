@@ -1,0 +1,159 @@
+"""Jitted train/eval steps for node-level tasks.
+
+TPU-first re-design of the reference's per-epoch loops (``run.py:26-253``):
+
+* Gc phase  — one full-batch jitted step on the coarse graph
+  (= ``node_train_Gc``/``node_val_Gc``, ``run.py:26-48``).
+* Gs GD     — every subgraph's forward runs in one vmapped jitted step and
+  the single optimizer update uses the loss over all consuming train nodes
+  (= accumulate-then-step, ``node_train_Gs_GD`` ``run.py:177``; what the
+  reference does with a Python loop + per-batch H2D transfers is one
+  device-resident batched computation here).
+* Gs MB     — ``lax.scan`` over the subgraph axis, one optimizer update per
+  subgraph, updates skipped for subgraphs without train nodes
+  (= ``node_train_Gs_MB`` ``run.py:217``, which ``continue``s those).
+* Gs eval   — vmapped forward; global masked loss/accuracy over all
+  consuming split nodes (= streamed ``node_infer_Gs_*`` + numpy losses,
+  ``run.py:49-176``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from fitgnn_tpu.graph.container import Graph, SubgraphBatch
+from fitgnn_tpu.train.losses import (
+    masked_accuracy, masked_l1, masked_l1_std_normalized, masked_nll,
+)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def adam_l2(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(weight_decay=wd) semantics: L2 term enters the
+    gradient *before* the Adam moments (not AdamW)."""
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.adam(lr))
+
+
+def create_state(model, rng, example_x, example_graph, lr=0.01,
+                 weight_decay=5e-4) -> TrainState:
+    params = model.init(rng, example_x, example_graph)
+    return TrainState.create(apply_fn=model.apply, params=params,
+                             tx=adam_l2(lr, weight_decay))
+
+
+def _loss_fn(task: str):
+    return masked_nll if task == "classification" else masked_l1
+
+
+# ---------------------------------------------------------------------------
+# Gc (coarse graph) full-batch steps
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("task",))
+def gc_train_step(state: TrainState, g: Graph, y, mask, rng, task: str
+                  ) -> tuple[TrainState, jnp.ndarray]:
+    def loss(params):
+        out = state.apply_fn(params, g.x, g, train=True,
+                             rngs={"dropout": rng})
+        return _loss_fn(task)(out, y, mask)
+
+    val, grads = jax.value_and_grad(loss)(state.params)
+    return state.apply_gradients(grads=grads), val
+
+
+@functools.partial(jax.jit, static_argnames=("task",))
+def gc_eval_step(state: TrainState, g: Graph, y, mask, task: str):
+    out = state.apply_fn(state.params, g.x, g)
+    loss = _loss_fn(task)(out, y, mask)
+    if task == "classification":
+        acc = masked_accuracy(out, y, mask)
+    else:
+        acc = masked_l1_std_normalized(out, y, mask)
+    return loss, acc
+
+
+# ---------------------------------------------------------------------------
+# Gs (subgraph batch) steps
+# ---------------------------------------------------------------------------
+
+def _batch_graphs(batch: SubgraphBatch) -> Graph:
+    return Graph(x=batch.x, senders=batch.senders, receivers=batch.receivers,
+                 edge_weight=batch.edge_weight, n_node=batch.n_node,
+                 n_edge=batch.n_edge)
+
+
+def _vmapped_out(apply_fn, params, batch: SubgraphBatch, train, rng):
+    gb = _batch_graphs(batch)
+    if train:
+        rngs = jax.random.split(rng, batch.num_subgraphs)
+        return jax.vmap(
+            lambda x, g, r: apply_fn(params, x, g, train=True,
+                                     rngs={"dropout": r})
+        )(batch.x, gb, rngs)
+    return jax.vmap(lambda x, g: apply_fn(params, x, g))(batch.x, gb)
+
+
+@functools.partial(jax.jit, static_argnames=("task",))
+def gs_train_step_gd(state: TrainState, batch: SubgraphBatch, rng, task: str):
+    """Accumulate-all-then-step: one update from the global masked loss."""
+    y = batch.y
+    mask = batch.train_mask  # already consume-filtered at build time
+
+    def loss(params):
+        out = _vmapped_out(state.apply_fn, params, batch, True, rng)
+        return _loss_fn(task)(out, y, mask)
+
+    val, grads = jax.value_and_grad(loss)(state.params)
+    return state.apply_gradients(grads=grads), val
+
+
+@functools.partial(jax.jit, static_argnames=("task",))
+def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str):
+    """Step-per-subgraph minibatch mode as a lax.scan over the subgraph axis.
+    Subgraphs with no train nodes leave the state untouched."""
+    loss_fn = _loss_fn(task)
+
+    def body(st, inp):
+        g, y, m, r = inp
+
+        def loss(params):
+            out = st.apply_fn(params, g.x, g, train=True, rngs={"dropout": r})
+            return loss_fn(out, y, m)
+
+        val, grads = jax.value_and_grad(loss)(st.params)
+        has_train = jnp.sum(m) > 0
+        new_st = st.apply_gradients(grads=grads)
+        st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has_train, a, b), new_st, st)
+        return st, jnp.where(has_train, val, 0.0)
+
+    gb = _batch_graphs(batch)
+    rngs = jax.random.split(rng, batch.num_subgraphs)
+    state, losses = jax.lax.scan(
+        body, state, (gb, batch.y, batch.train_mask, rngs))
+    return state, jnp.sum(losses)
+
+
+@functools.partial(jax.jit, static_argnames=("task", "split"))
+def gs_eval_step(state: TrainState, batch: SubgraphBatch, task: str,
+                 split: str = "val"):
+    """Global masked loss + metric over all subgraphs' consuming split nodes."""
+    mask = batch.val_mask if split == "val" else batch.test_mask
+    out = _vmapped_out(state.apply_fn, state.params, batch, False, None)
+    loss = _loss_fn(task)(out, batch.y, mask)
+    if task == "classification":
+        metric = masked_accuracy(out, batch.y, mask)
+    else:
+        loss = masked_l1_std_normalized(out, batch.y, mask)
+        metric = loss
+    return loss, metric

@@ -1,0 +1,96 @@
+"""End-to-end training tests on synthetic SBM data: all three experiment
+setups must beat chance by a wide margin (the framework's accuracy oracle in
+lieu of downloadable reference datasets)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fitgnn_tpu.data.synthetic import sbm_graph, random_regression_graph
+from fitgnn_tpu.data.splits import splits_classification, splits_regression
+from fitgnn_tpu.partition import coarsen_and_partition
+from fitgnn_tpu.train import (
+    NodeTaskConfig, run_node_task, masked_nll, masked_accuracy,
+)
+
+
+def make_dataset(mode="extra_node", n=300, classes=4, seed=0):
+    x, s, r, y = sbm_graph(num_nodes=n, num_classes=classes, num_features=32,
+                           p_in=0.08, p_out=0.004, feature_noise=1.5,
+                           seed=seed)
+    train, val, test = splits_classification(y, classes, "random", seed=seed)
+    ds = coarsen_and_partition(
+        x, s, r, y, reduction=0.5, method="variation_neighborhoods",
+        mode=mode, task="classification", num_classes=classes,
+        train_mask=train, val_mask=val, test_mask=test, seed=seed)
+    return ds
+
+
+class TestLosses:
+    def test_masked_nll_matches_manual(self, rng):
+        lp = jnp.log(jax.nn.softmax(jnp.asarray(
+            rng.normal(size=(10, 3)).astype(np.float32))))
+        y = jnp.asarray(rng.integers(0, 3, 10))
+        m = jnp.asarray(rng.random(10) > 0.4)
+        got = float(masked_nll(lp, y, m))
+        lp_np, y_np, m_np = np.asarray(lp), np.asarray(y), np.asarray(m)
+        expect = -lp_np[np.arange(10), y_np][m_np].mean()
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_masked_accuracy(self):
+        lp = jnp.asarray(np.log([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]]))
+        y = jnp.asarray([0, 1, 1])
+        m = jnp.asarray([True, True, True])
+        np.testing.assert_allclose(float(masked_accuracy(lp, y, m)), 2 / 3)
+
+
+@pytest.mark.parametrize("exp_setup", ["Gc_train_2_Gs_infer",
+                                       "Gs_train_2_Gs_infer",
+                                       "Gc_train_2_Gs_train"])
+def test_node_classification_beats_chance(exp_setup):
+    ds = make_dataset()
+    cfg = NodeTaskConfig(
+        layer_name="GCNConv", hidden=32, num_layers=2, out_dim=4,
+        exp_setup=exp_setup, epochs1=40, epochs2=40, runs=1, seed=0)
+    res = run_node_task(cfg, ds.coarse, ds.subgraphs)
+    acc = res.runs[0].test_acc
+    assert acc > 0.5, f"{exp_setup}: acc={acc} (chance=0.25)"
+
+
+def test_mb_gradient_mode():
+    ds = make_dataset(mode="plain")
+    cfg = NodeTaskConfig(
+        layer_name="GCNConv", hidden=32, num_layers=2, out_dim=4,
+        exp_setup="Gs_train_2_Gs_infer", epochs2=30, gradient_method="MB",
+        runs=1, seed=0)
+    res = run_node_task(cfg, ds.coarse, ds.subgraphs)
+    assert res.runs[0].test_acc > 0.5
+
+
+def test_node_regression_runs():
+    x, s, r, y = random_regression_graph(num_nodes=200)
+    train, val, test = splits_regression(200, 0.3, 0.2, seed=0)
+    ds = coarsen_and_partition(
+        x, s, r, y, reduction=0.5, method="variation_neighborhoods",
+        mode="extra_node", task="regression",
+        train_mask=train, val_mask=val, test_mask=test)
+    cfg = NodeTaskConfig(
+        layer_name="GCNConv", hidden=32, num_layers=2, out_dim=1,
+        task="regression", exp_setup="Gs_train_2_Gs_infer", epochs2=30,
+        runs=1, seed=0)
+    res = run_node_task(cfg, ds.coarse, ds.subgraphs)
+    # normalized L1 < 1.0 means beating the predict-the-mean baseline
+    assert res.runs[0].test_loss < 1.0
+
+
+def test_multi_run_summary():
+    ds = make_dataset(mode="plain", n=150, classes=3)
+    cfg = NodeTaskConfig(
+        layer_name="GCNConv", hidden=16, num_layers=2, out_dim=3,
+        exp_setup="Gs_train_2_Gs_infer", epochs2=5, runs=3, seed=0)
+    res = run_node_task(cfg, ds.coarse, ds.subgraphs)
+    s = res.summary
+    assert len(res.runs) == 3
+    assert 0.0 <= s["ave_acc"] <= 1.0
+    assert s["best_acc"] >= s["top_10_acc"] - 1e-9
