@@ -56,16 +56,25 @@ def main():
     mv = g.train_mask
     key = jax.random.PRNGKey(1)
 
-    # warm-up / compile
-    state, loss = gc_train_step(state, g, yv, mv, key, "classification")
-    loss.block_until_ready()
+    # run STEPS optimizer steps inside ONE jitted scan: a single dispatch, so
+    # host/tunnel latency does not pollute the device-time measurement
+    import functools
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_block(state, keys):
+        def body(st, k):
+            st, loss = gc_train_step(st, g, yv, mv, k, "classification")
+            return st, loss
+
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(key, STEPS)
+    state, losses = epoch_block(state, keys)       # compile + warm-up
+    losses.block_until_ready()
+    keys = jax.random.split(jax.random.PRNGKey(2), STEPS)
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, loss = gc_train_step(state, g, yv, mv,
-                                    jax.random.fold_in(key, i),
-                                    "classification")
-    loss.block_until_ready()
+    state, losses = epoch_block(state, keys)
+    losses.block_until_ready()
     elapsed = time.perf_counter() - t0
 
     step_time = elapsed / STEPS

@@ -27,7 +27,8 @@ def _largest_eigvec(L: sp.spmatrix) -> np.ndarray:
     if n <= 64:
         w, v = np.linalg.eigh(L.toarray())
         return v[:, -1]
-    _, v = spla.eigsh(L.tocsc(), k=1, which="LM", tol=1e-4)
+    v0 = np.random.default_rng(42).standard_normal(n)
+    _, v = spla.eigsh(L.tocsc(), k=1, which="LM", tol=1e-4, v0=v0)
     return v[:, 0]
 
 

@@ -26,7 +26,10 @@ def bottom_k_eigen(g: LapGraph, k: int, tol: float = 1e-5):
         return lk[:k], Uk[:, :k]
     offset = 2.0 * float(g.dw.max()) if g.dw.size else 2.0
     T = offset * sp.eye(n, format="csr") - g.L
-    lam, U = spla.eigsh(T, k=k, which="LM", tol=tol)
+    # deterministic ARPACK start vector (the default draws from numpy's
+    # global RNG, making results order-dependent across calls)
+    v0 = np.random.default_rng(42).standard_normal(n)
+    lam, U = spla.eigsh(T, k=k, which="LM", tol=tol, v0=v0)
     lk = (offset - lam)[::-1]
     Uk = U[:, ::-1]
     return lk, Uk

@@ -1,0 +1,269 @@
+"""Dataset loaders for the reference's 13-dataset capability matrix
+(SURVEY §2.6) without torch_geometric:
+
+* node cls  — cora, citeseer, pubmed (Planetoid raw pickle format), dblp,
+  Physics, WikiCS, ogbn-arxiv/products/proteins, Flickr
+* node reg  — chameleon, squirrel, crocodile (WikipediaNetwork raw text)
+* graph cls — ENZYMES, PROTEINS, AIDS (TU text format)
+* graph reg — QM9, ZINC
+
+This image has zero egress, so loaders read already-downloaded raw files
+under ``root/<name>/raw`` (Planetoid ``ind.*`` pickles, TU ``DS_*.txt``,
+geom-gcn ``out1_*.txt``) or a standardized ``<name>.npz`` cache
+(x, senders, receivers, y [, train/val/test masks]); ``save_npz_cache``
+writes that cache.  A missing dataset raises with download instructions
+instead of silently substituting data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+NODE_CLS = ("cora", "citeseer", "pubmed", "dblp", "physics", "wikics",
+            "ogbn-arxiv", "ogbn-products", "ogbn-proteins", "flickr")
+NODE_REG = ("chameleon", "squirrel", "crocodile")
+GRAPH_CLS = ("ENZYMES", "PROTEINS", "AIDS")
+GRAPH_REG = ("QM9", "ZINC", "ZINC_subset")
+
+TASK_OF = {**{d: "node_cls" for d in NODE_CLS},
+           **{d: "node_reg" for d in NODE_REG},
+           **{d: "graph_cls" for d in GRAPH_CLS},
+           **{d: "graph_reg" for d in GRAPH_REG}}
+
+
+@dataclasses.dataclass
+class NodeDataset:
+    name: str
+    x: np.ndarray
+    senders: np.ndarray
+    receivers: np.ndarray
+    y: np.ndarray
+    train_mask: Optional[np.ndarray] = None
+    val_mask: Optional[np.ndarray] = None
+    test_mask: Optional[np.ndarray] = None
+
+    @property
+    def num_nodes(self):
+        return self.x.shape[0]
+
+    @property
+    def num_classes(self):
+        return int(self.y.max()) + 1 if np.issubdtype(self.y.dtype,
+                                                      np.integer) else 0
+
+
+@dataclasses.dataclass
+class GraphDataset:
+    name: str
+    graphs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]  # (x, s, r)
+    y: np.ndarray                       # (B,) labels or (B, T) targets
+
+
+class DatasetNotFoundError(FileNotFoundError):
+    pass
+
+
+def _missing(name: str, root: str, expected: str) -> DatasetNotFoundError:
+    return DatasetNotFoundError(
+        f"dataset {name!r} not found under {root!r}: expected {expected}. "
+        f"This environment has no network egress — place the raw files or an "
+        f"npz cache there (see save_npz_cache/load_npz_cache).")
+
+
+# ---------------------------------------------------------------------------
+# npz standardized cache
+# ---------------------------------------------------------------------------
+
+def save_npz_cache(path: str, ds: NodeDataset) -> None:
+    arrays = dict(x=ds.x, senders=ds.senders, receivers=ds.receivers, y=ds.y)
+    for k in ("train_mask", "val_mask", "test_mask"):
+        v = getattr(ds, k)
+        if v is not None:
+            arrays[k] = v
+    np.savez_compressed(path, **arrays)
+
+
+def load_npz_cache(path: str, name: str) -> NodeDataset:
+    with np.load(path) as z:
+        return NodeDataset(
+            name=name, x=z["x"], senders=z["senders"],
+            receivers=z["receivers"], y=z["y"],
+            train_mask=z["train_mask"] if "train_mask" in z else None,
+            val_mask=z["val_mask"] if "val_mask" in z else None,
+            test_mask=z["test_mask"] if "test_mask" in z else None)
+
+
+# ---------------------------------------------------------------------------
+# Planetoid raw format (cora / citeseer / pubmed)
+# ---------------------------------------------------------------------------
+
+def _parse_index_file(path: str) -> np.ndarray:
+    return np.array([int(line.strip()) for line in open(path)], dtype=np.int64)
+
+
+def load_planetoid(root: str, name: str) -> NodeDataset:
+    """Parse the ``ind.<name>.{x,tx,allx,y,ty,ally,graph,test.index}``
+    pickles (the format PyG's Planetoid consumes)."""
+    raw = os.path.join(root, name, "raw")
+    names = ["x", "y", "tx", "ty", "allx", "ally", "graph"]
+    paths = [os.path.join(raw, f"ind.{name.lower()}.{n}") for n in names]
+    idx_path = os.path.join(raw, f"ind.{name.lower()}.test.index")
+    if not all(os.path.exists(p) for p in paths + [idx_path]):
+        raise _missing(name, raw, "Planetoid ind.* files")
+
+    objs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            objs.append(pickle.load(f, encoding="latin1"))
+    x, y, tx, ty, allx, ally, graph = objs
+    test_idx = _parse_index_file(idx_path)
+    test_sorted = np.sort(test_idx)
+
+    import scipy.sparse as sp
+    allx = sp.csr_matrix(allx)
+    tx = sp.csr_matrix(tx)
+    if name.lower() == "citeseer":
+        # citeseer's test ids have gaps (isolated nodes absent from tx):
+        # scatter tx/ty into the full contiguous range, zeros elsewhere
+        full = np.arange(test_sorted.min(), test_sorted.max() + 1)
+        tx_ext = sp.lil_matrix((len(full), tx.shape[1]))
+        tx_ext[test_sorted - test_sorted.min()] = tx
+        ty_ext = np.zeros((len(full), ty.shape[1]))
+        ty_ext[test_sorted - test_sorted.min()] = ty
+        tx, ty = sp.csr_matrix(tx_ext), ty_ext
+
+    # vstack puts test rows (file order) at the tail block, which coincides
+    # with the sorted test id range; permute them into true id positions
+    features = sp.vstack([allx, tx]).tolil()
+    features[test_idx] = features[test_sorted]
+    labels_oh = np.vstack([ally, ty])
+    labels_oh[test_idx] = labels_oh[test_sorted]
+    labels = labels_oh.argmax(axis=1).astype(np.int64)
+
+    n = features.shape[0]
+    senders, receivers = [], []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            if u != v and u < n and v < n:
+                senders.append(u)
+                receivers.append(v)
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+
+    train_mask = np.zeros(n, dtype=bool)
+    val_mask = np.zeros(n, dtype=bool)
+    test_mask = np.zeros(n, dtype=bool)
+    train_mask[: y.shape[0]] = True
+    val_mask[y.shape[0]: y.shape[0] + 500] = True
+    test_mask[test_idx] = True
+
+    return NodeDataset(
+        name=name, x=np.asarray(features.todense(), dtype=np.float32),
+        senders=senders, receivers=receivers, y=labels,
+        train_mask=train_mask, val_mask=val_mask, test_mask=test_mask)
+
+
+# ---------------------------------------------------------------------------
+# WikipediaNetwork raw text (chameleon / squirrel / crocodile, geom_gcn=False)
+# ---------------------------------------------------------------------------
+
+def load_wikipedia_network(root: str, name: str) -> NodeDataset:
+    raw = os.path.join(root, name, "raw")
+    feat_path = os.path.join(raw, "out1_node_feature_label.txt")
+    edge_path = os.path.join(raw, "out1_graph_edges.txt")
+    if not (os.path.exists(feat_path) and os.path.exists(edge_path)):
+        raise _missing(name, raw, "geom-gcn out1_*.txt files")
+    xs, ys = [], []
+    with open(feat_path) as f:
+        next(f)  # header
+        for line in f:
+            _, feat, label = line.strip().split("\t")
+            xs.append([float(v) for v in feat.split(",")])
+            ys.append(float(label))
+    edges = np.loadtxt(edge_path, skiprows=1, dtype=np.int64)
+    # node regression target: log(1 + traffic), like the reference datasets
+    y = np.log1p(np.asarray(ys, dtype=np.float64)).astype(np.float32)
+    return NodeDataset(name=name, x=np.asarray(xs, dtype=np.float32),
+                       senders=edges[:, 0], receivers=edges[:, 1], y=y)
+
+
+# ---------------------------------------------------------------------------
+# TU format (ENZYMES / PROTEINS / AIDS)
+# ---------------------------------------------------------------------------
+
+def load_tu_dataset(root: str, name: str) -> GraphDataset:
+    raw = os.path.join(root, name, "raw")
+    pre = os.path.join(raw, name)
+    a_path = f"{pre}_A.txt"
+    gi_path = f"{pre}_graph_indicator.txt"
+    gl_path = f"{pre}_graph_labels.txt"
+    if not all(os.path.exists(p) for p in (a_path, gi_path, gl_path)):
+        raise _missing(name, raw, "TU DS_A/graph_indicator/graph_labels files")
+    edges = np.loadtxt(a_path, delimiter=",", dtype=np.int64) - 1  # 1-based
+    gi = np.loadtxt(gi_path, dtype=np.int64) - 1
+    gl = np.loadtxt(gl_path, dtype=np.int64)
+    gl = gl - gl.min()
+
+    na_path = f"{pre}_node_attributes.txt"
+    nl_path = f"{pre}_node_labels.txt"
+    if os.path.exists(na_path):
+        feats = np.loadtxt(na_path, delimiter=",", dtype=np.float32)
+        if feats.ndim == 1:
+            feats = feats[:, None]
+    elif os.path.exists(nl_path):
+        nl = np.loadtxt(nl_path, dtype=np.int64)
+        nl = nl - nl.min()
+        feats = np.eye(int(nl.max()) + 1, dtype=np.float32)[nl]
+    else:
+        feats = np.ones((len(gi), 1), dtype=np.float32)
+
+    num_graphs = int(gi.max()) + 1
+    node_off = np.zeros(num_graphs + 1, dtype=np.int64)
+    counts = np.bincount(gi, minlength=num_graphs)
+    node_off[1:] = np.cumsum(counts)
+    edge_graph = gi[edges[:, 0]]
+
+    graphs = []
+    order = np.argsort(edge_graph, kind="stable")
+    edges_sorted = edges[order]
+    bounds = np.searchsorted(edge_graph[order], np.arange(num_graphs + 1))
+    for g in range(num_graphs):
+        lo, hi = node_off[g], node_off[g + 1]
+        e = edges_sorted[bounds[g]:bounds[g + 1]] - lo
+        graphs.append((feats[lo:hi], e[:, 0].astype(np.int32),
+                       e[:, 1].astype(np.int32)))
+    return GraphDataset(name=name, graphs=graphs, y=gl)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def load_node_dataset(name: str, root: str = "./dataset") -> NodeDataset:
+    """Load a node-task dataset by reference name; tries the npz cache first."""
+    key = name.lower()
+    cache = os.path.join(root, key, f"{key}.npz")
+    if os.path.exists(cache):
+        return load_npz_cache(cache, key)
+    if key in ("cora", "citeseer", "pubmed"):
+        return load_planetoid(root, key)
+    if key in NODE_REG:
+        return load_wikipedia_network(root, key)
+    raise _missing(name, root, f"{key}.npz standardized cache")
+
+
+def load_graph_dataset(name: str, root: str = "./dataset") -> GraphDataset:
+    cache = os.path.join(root, name, f"{name}_graphs.npz")
+    if os.path.exists(cache):
+        with np.load(cache, allow_pickle=True) as z:
+            graphs = list(z["graphs"])
+            return GraphDataset(name=name, graphs=graphs, y=z["y"])
+    if name in GRAPH_CLS:
+        return load_tu_dataset(root, name)
+    raise _missing(name, root, f"{name}_graphs.npz cache or TU raw files")

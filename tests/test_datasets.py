@@ -1,0 +1,126 @@
+"""Loader tests against synthesized raw files (no network in this env)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from fitgnn_tpu.data.datasets import (
+    NodeDataset, DatasetNotFoundError, load_node_dataset, load_graph_dataset,
+    load_planetoid, load_tu_dataset, load_wikipedia_network,
+    save_npz_cache, load_npz_cache,
+)
+
+
+def write_planetoid(root, name="cora", n_train=6, n_val=4, n_test=5, f=8,
+                    c=3):
+    raw = os.path.join(root, name, "raw")
+    os.makedirs(raw, exist_ok=True)
+    rng = np.random.default_rng(0)
+    n_allx = n_train + n_val
+    n = n_allx + n_test
+
+    def onehot(k):
+        lab = rng.integers(0, c, size=k)
+        return np.eye(c)[lab]
+
+    x = sp.csr_matrix(rng.random((n_train, f)).astype(np.float32))
+    allx = sp.csr_matrix(rng.random((n_allx, f)).astype(np.float32))
+    tx = sp.csr_matrix(rng.random((n_test, f)).astype(np.float32))
+    y, ally, ty = onehot(n_train), onehot(n_allx), onehot(n_test)
+    graph = {i: [int(j) for j in rng.integers(0, n, 2)] for i in range(n)}
+    test_idx = rng.permutation(np.arange(n_allx, n))
+
+    objs = dict(x=x, y=y, tx=tx, ty=ty, allx=allx, ally=ally, graph=graph)
+    for key, obj in objs.items():
+        with open(os.path.join(raw, f"ind.{name}.{key}"), "wb") as fo:
+            pickle.dump(obj, fo)
+    with open(os.path.join(raw, f"ind.{name}.test.index"), "w") as fo:
+        fo.write("\n".join(str(i) for i in test_idx))
+    return n, f, test_idx, np.asarray(tx.todense()), ty
+
+
+class TestPlanetoid:
+    def test_parse_and_permutation(self, tmp_path):
+        n, f, test_idx, tx_dense, ty = write_planetoid(str(tmp_path))
+        ds = load_planetoid(str(tmp_path), "cora")
+        assert ds.x.shape == (n, f)
+        assert ds.train_mask.sum() == 6
+        # val = the 500 nodes after train, clipped by graph size (the real
+        # format's semantics; overlaps test in this tiny fixture)
+        assert ds.val_mask.sum() == n - 6
+        assert ds.test_mask.sum() == 5
+        # test features permuted into true id positions: tx row i is node
+        # test_idx[i]
+        for i, node in enumerate(test_idx):
+            np.testing.assert_allclose(ds.x[node], tx_dense[i], rtol=1e-6)
+            assert ds.y[node] == ty[i].argmax()
+
+    def test_missing_raises(self, tmp_path):
+        with pytest.raises(DatasetNotFoundError):
+            load_planetoid(str(tmp_path), "cora")
+
+
+class TestTU:
+    def test_parse(self, tmp_path):
+        raw = tmp_path / "PROTEINS" / "raw"
+        raw.mkdir(parents=True)
+        # 2 graphs: triangle (nodes 1-3) and edge (nodes 4-5), 1-based
+        (raw / "PROTEINS_A.txt").write_text(
+            "1, 2\n2, 1\n2, 3\n3, 2\n1, 3\n3, 1\n4, 5\n5, 4\n")
+        (raw / "PROTEINS_graph_indicator.txt").write_text(
+            "1\n1\n1\n2\n2\n")
+        (raw / "PROTEINS_graph_labels.txt").write_text("1\n2\n")
+        (raw / "PROTEINS_node_labels.txt").write_text("0\n1\n0\n1\n0\n")
+        ds = load_tu_dataset(str(tmp_path), "PROTEINS")
+        assert len(ds.graphs) == 2
+        np.testing.assert_array_equal(ds.y, [0, 1])
+        x0, s0, r0 = ds.graphs[0]
+        assert x0.shape == (3, 2)      # one-hot of 2 node labels
+        assert len(s0) == 6
+        x1, s1, r1 = ds.graphs[1]
+        assert x1.shape == (2, 2)
+        np.testing.assert_array_equal(np.sort(s1), [0, 1])
+
+
+class TestWikipedia:
+    def test_parse(self, tmp_path):
+        raw = tmp_path / "chameleon" / "raw"
+        raw.mkdir(parents=True)
+        (raw / "out1_node_feature_label.txt").write_text(
+            "node_id\tfeature\tlabel\n"
+            "0\t1.0,2.0\t10\n1\t0.5,0.1\t100\n2\t0.0,1.0\t1\n")
+        (raw / "out1_graph_edges.txt").write_text(
+            "id1\tid2\n0\t1\n1\t2\n")
+        ds = load_wikipedia_network(str(tmp_path), "chameleon")
+        assert ds.x.shape == (3, 2)
+        np.testing.assert_allclose(ds.y, np.log1p([10, 100, 1]), rtol=1e-6)
+        assert len(ds.senders) == 2
+
+
+class TestNpzCache:
+    def test_roundtrip(self, tmp_path):
+        ds = NodeDataset(
+            name="toy", x=np.ones((4, 2), dtype=np.float32),
+            senders=np.array([0, 1]), receivers=np.array([1, 2]),
+            y=np.array([0, 1, 0, 1]),
+            train_mask=np.array([True, False, True, False]))
+        path = str(tmp_path / "toy.npz")
+        save_npz_cache(path, ds)
+        back = load_npz_cache(path, "toy")
+        np.testing.assert_array_equal(back.x, ds.x)
+        np.testing.assert_array_equal(back.train_mask, ds.train_mask)
+        assert back.val_mask is None
+
+    def test_load_node_dataset_prefers_cache(self, tmp_path):
+        d = tmp_path / "cora"
+        d.mkdir()
+        ds = NodeDataset(
+            name="cora", x=np.zeros((3, 2), dtype=np.float32),
+            senders=np.array([0]), receivers=np.array([1]),
+            y=np.array([0, 1, 1]))
+        save_npz_cache(str(d / "cora.npz"), ds)
+        back = load_node_dataset("cora", str(tmp_path))
+        assert back.x.shape == (3, 2)
