@@ -1,0 +1,369 @@
+"""CLI driver — the counterpart of the reference's five entry points
+(``main.py``, ``inference.py``, ``inference_baseline.py``, ``memory.py``,
+``save_graphs.py`` + ``dataset.py``) as subcommands of one typed interface:
+
+    python -m fitgnn_tpu.cli.main train       --dataset cora --task node_cls ...
+    python -m fitgnn_tpu.cli.main infer       --dataset cora ...
+    python -m fitgnn_tpu.cli.main infer-baseline --dataset cora ...
+    python -m fitgnn_tpu.cli.main memory      --dataset cora ...
+    python -m fitgnn_tpu.cli.main stats       --dataset cora
+    python -m fitgnn_tpu.cli.main save-graphs --dataset cora ...
+
+Flag names and defaults follow the reference (``main.py:175-209``), including
+the semantic normalization of ``arg_correction`` (``main.py:117-129``):
+cluster/extra mutual exclusion, fixed→random remap for datasets without fixed
+splits, fitgnn/baseline resolution.  Note the reference's CLI
+``--coarsening_ratio`` is inverted before use (``coarsen(r=1-ratio)``,
+``main.py:278``); this CLI keeps the user-facing semantics identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+FIXED_SPLIT_DATASETS = ("cora", "citeseer", "pubmed", "wikics")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fitgnn-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--dataset", type=str, default="cora")
+        sp.add_argument("--data_root", type=str, default="./dataset")
+        sp.add_argument("--task", type=str, default="node_cls",
+                        choices=["node_cls", "node_reg", "graph_cls",
+                                 "graph_reg"])
+        sp.add_argument("--coarsening_ratio", type=float, default=0.5)
+        sp.add_argument("--coarsening_method", type=str,
+                        default="variation_neighborhoods")
+        sp.add_argument("--extra_node", action="store_true")
+        sp.add_argument("--cluster_node", action="store_true")
+        sp.add_argument("--use_community_detection", action="store_true")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--output_dir", type=str, default="out")
+        return sp
+
+    t = common(sub.add_parser("train"))
+    t.add_argument("--experiment", type=str, default="fixed")
+    t.add_argument("--exp_setup", type=str, default="Gc_train_2_Gs_infer")
+    t.add_argument("--runs", type=int, default=20)
+    t.add_argument("--hidden", type=int, default=512)
+    t.add_argument("--layer_name", type=str, default="GCNConv")
+    t.add_argument("--epochs1", type=int, default=100)
+    t.add_argument("--epochs2", type=int, default=300)
+    t.add_argument("--num_layers1", type=int, default=2)
+    t.add_argument("--num_layers2", type=int, default=2)
+    t.add_argument("--batch_size", type=int, default=128)
+    t.add_argument("--train_ratio", type=float, default=0.3)
+    t.add_argument("--val_ratio", type=float, default=0.2)
+    t.add_argument("--lr", type=float, default=0.01)
+    t.add_argument("--weight_decay", type=float, default=5e-4)
+    t.add_argument("--gradient_method", type=str, default="GD",
+                   choices=["GD", "MB"])
+    t.add_argument("--normalize_features", action="store_true")
+    t.add_argument("--multi_prop", action="store_true")
+    t.add_argument("--property", type=int, default=0)
+    t.add_argument("--train_fitgnn", action="store_true")
+    t.add_argument("--baseline", action="store_true")
+
+    i = common(sub.add_parser("infer"))
+    i.add_argument("--hidden", type=int, default=512)
+    i.add_argument("--layer_name", type=str, default="GCNConv")
+    i.add_argument("--num_layers1", type=int, default=2)
+    i.add_argument("--num_test_samples", type=int, default=100)
+    i.add_argument("--checkpoint", type=str, default=None)
+    i.add_argument("--experiment", type=str, default="fixed")
+
+    ib = common(sub.add_parser("infer-baseline"))
+    ib.add_argument("--hidden", type=int, default=512)
+    ib.add_argument("--layer_name", type=str, default="GCNConv")
+    ib.add_argument("--num_layers1", type=int, default=2)
+    ib.add_argument("--num_test_samples", type=int, default=100)
+    ib.add_argument("--checkpoint", type=str, default=None)
+    ib.add_argument("--experiment", type=str, default="fixed")
+
+    common(sub.add_parser("memory"))
+    common(sub.add_parser("stats"))
+    common(sub.add_parser("save-graphs"))
+    return p
+
+
+def arg_correction(args) -> argparse.Namespace:
+    """Reference ``arg_correction`` semantics (``main.py:117-129``)."""
+    if getattr(args, "cluster_node", False) and getattr(args, "extra_node",
+                                                        False):
+        print("warning: cluster_node and extra_node are mutually exclusive; "
+              "using extra_node", file=sys.stderr)
+        args.cluster_node = False
+    if getattr(args, "experiment", None) == "fixed" and \
+            args.dataset.lower() not in FIXED_SPLIT_DATASETS:
+        print(f"warning: {args.dataset} has no fixed split; using random",
+              file=sys.stderr)
+        args.experiment = "random"
+    if getattr(args, "train_fitgnn", False) and getattr(args, "baseline",
+                                                        False):
+        print("warning: train_fitgnn overrides baseline", file=sys.stderr)
+        args.baseline = False
+    return args
+
+
+def _node_mode(args) -> str:
+    if getattr(args, "extra_node", False):
+        return "extra_node"
+    if getattr(args, "cluster_node", False):
+        return "cluster_node"
+    return "plain"
+
+
+def _load_node(args):
+    from fitgnn_tpu.data.datasets import load_node_dataset
+    return load_node_dataset(args.dataset, args.data_root)
+
+
+def _splits(args, ds, num_classes):
+    from fitgnn_tpu.data.splits import (splits_classification,
+                                        splits_regression)
+    if args.task == "node_reg":
+        return splits_regression(ds.num_nodes, args.train_ratio,
+                                 args.val_ratio, seed=args.seed)
+    if getattr(args, "experiment", "fixed") == "fixed":
+        if ds.train_mask is None:
+            raise SystemExit(f"{args.dataset} provides no fixed split")
+        return ds.train_mask, ds.val_mask, ds.test_mask
+    return splits_classification(ds.y, num_classes, args.experiment,
+                                 seed=args.seed)
+
+
+def _partition(args, ds, train, val, test, num_classes):
+    from fitgnn_tpu.partition import coarsen_and_partition
+    task = "classification" if args.task.endswith("cls") else "regression"
+    return coarsen_and_partition(
+        ds.x, ds.senders, ds.receivers, ds.y,
+        reduction=1.0 - args.coarsening_ratio,  # reference ratio semantics
+        method=args.coarsening_method, mode=_node_mode(args), task=task,
+        num_classes=num_classes, train_mask=train, val_mask=val,
+        test_mask=test, seed=args.seed)
+
+
+def cmd_train(args) -> int:
+    from fitgnn_tpu.train import NodeTaskConfig, run_node_task
+    from fitgnn_tpu.utils import results as R
+
+    if args.task in ("graph_cls", "graph_reg"):
+        return _cmd_train_graph(args)
+
+    ds = _load_node(args)
+    if args.normalize_features:
+        norms = np.abs(ds.x).sum(axis=1, keepdims=True)
+        ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
+    num_classes = ds.num_classes if args.task == "node_cls" else None
+    train, val, test = _splits(args, ds, num_classes)
+    part = _partition(args, ds, train, val, test, num_classes)
+
+    task = "classification" if args.task == "node_cls" else "regression"
+    cfg = NodeTaskConfig(
+        layer_name=args.layer_name, hidden=args.hidden,
+        num_layers=args.num_layers1, task=task,
+        out_dim=num_classes if task == "classification" else 1,
+        exp_setup=args.exp_setup if task == "classification"
+        else "Gs_train_2_Gs_infer",
+        epochs1=args.epochs1, epochs2=args.epochs2, lr=args.lr,
+        weight_decay=args.weight_decay, gradient_method=args.gradient_method,
+        runs=args.runs, seed=args.seed)
+    res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
+    s = res.summary
+
+    header = (R.TRAIN_NODE_CLS_HEADER if task == "classification"
+              else R.TRAIN_NODE_REG_HEADER)
+    row = R.format_row(header, {
+        "dataset": args.dataset, "coarsening_method": args.coarsening_method,
+        "coarsening_ratio": args.coarsening_ratio,
+        "experiment": getattr(args, "experiment", ""),
+        "exp_setup": args.exp_setup, "layer_name": args.layer_name,
+        "extra_nodes": args.extra_node, "cluster_node": args.cluster_node,
+        "community_used": args.use_community_detection,
+        "hidden": args.hidden, "runs": args.runs,
+        "num_layers": args.num_layers1, "batch_size": args.batch_size,
+        "lr": args.lr,
+        "ave_acc": f"{s['ave_acc']} +/- {s['std_acc']}",
+        "ave_time": s["ave_time"],
+        "top_10_acc": f"{s['top_10_acc']} +/- {s['top_10_acc_std']}",
+        "best_acc": s["best_acc"],
+        "top_10_loss": f"{s['top_10_loss']} +/- {s['top_10_loss_std']}",
+        "best_loss": s["best_loss"]})
+    R.append_csv_row(f"results/{args.dataset}.csv", header, row)
+    print(f"results/{args.dataset}.csv <- {row}")
+    return 0
+
+
+def _cmd_train_graph(args) -> int:
+    from fitgnn_tpu.data.datasets import load_graph_dataset
+    from fitgnn_tpu.data.graph_level import (prepare_graph_sample,
+                                             collate_graph_level)
+    from fitgnn_tpu.data.splits import splits_graph_level
+    from fitgnn_tpu.train.graph_loop import GraphTaskConfig, run_graph_task
+    from fitgnn_tpu.utils import results as R
+
+    gds = load_graph_dataset(args.dataset, args.data_root)
+    classify = args.task == "graph_cls"
+    samples = [prepare_graph_sample(
+        x, s, r, y_, reduction=1.0 - args.coarsening_ratio,
+        method=args.coarsening_method, mode=_node_mode(args), seed=args.seed)
+        for (x, s, r), y_ in zip(gds.graphs, gds.y)]
+    tr, va, te = splits_graph_level(len(samples), seed=args.seed)
+    bt = collate_graph_level([samples[i] for i in tr])
+    bv = collate_graph_level([samples[i] for i in va])
+    be = collate_graph_level([samples[i] for i in te])
+
+    out_dim = int(gds.y.max()) + 1 if classify else 1
+    cfg = GraphTaskConfig(
+        layer_name=args.layer_name, hidden=args.hidden,
+        num_layers=args.num_layers1, out_dim=out_dim, classify=classify,
+        exp_setup=args.exp_setup, epochs1=args.epochs1, epochs2=args.epochs2,
+        lr=args.lr, weight_decay=args.weight_decay,
+        prop=args.property if args.multi_prop else None, seed=args.seed)
+    res = run_graph_task(cfg, bt, bv, be)
+    row = R.format_row(R.TRAIN_GRAPH_HEADER, {
+        "dataset": args.dataset, "coarsening_method": args.coarsening_method,
+        "coarsening_ratio": args.coarsening_ratio,
+        "exp_setup": args.exp_setup, "layer_name": args.layer_name,
+        "extra_nodes": args.extra_node, "cluster_node": args.cluster_node,
+        "community_used": args.use_community_detection,
+        "hidden": args.hidden, "num_layers1": args.num_layers1,
+        "num_layers2": args.num_layers2, "epochs1": args.epochs1,
+        "epochs2": args.epochs2, "batch_size": args.batch_size,
+        "lr": args.lr, "best_test_loss": res.best_test_loss,
+        "best_test_acc": res.best_test_acc})
+    R.append_csv_row(f"results/{args.dataset}.csv", R.TRAIN_GRAPH_HEADER, row)
+    print(f"results/{args.dataset}.csv <- {row}")
+    return 0
+
+
+def cmd_infer(args, baseline: bool = False) -> int:
+    import jax
+    from fitgnn_tpu.models import NodeModel
+    from fitgnn_tpu.graph import build_graph
+    from fitgnn_tpu.bench.inference import (node_inference_benchmark,
+                                            baseline_inference_benchmark)
+    from fitgnn_tpu.utils import results as R
+
+    ds = _load_node(args)
+    classify = args.task == "node_cls"
+    num_classes = ds.num_classes if classify else None
+    train, val, test = _splits(args, ds, num_classes)
+
+    model = NodeModel(layer_name=args.layer_name, hidden=args.hidden,
+                      num_layers=args.num_layers1,
+                      out_dim=num_classes if classify else 1,
+                      classify=classify)
+
+    if baseline:
+        g = build_graph(ds.x, ds.senders, ds.receivers)
+        params = model.init(jax.random.PRNGKey(args.seed), g.x, g)
+        if args.checkpoint:
+            from fitgnn_tpu.train.checkpoint import restore_params
+            params = restore_params(args.checkpoint, params)
+        rep = baseline_inference_benchmark(
+            model, params, g, test, ds.y,
+            num_samples=args.num_test_samples, classify=classify,
+            seed=args.seed)
+    else:
+        part = _partition(args, ds, train, val, test, num_classes)
+        g0 = part.subgraphs.subgraph(0)
+        params = model.init(jax.random.PRNGKey(args.seed), g0.x, g0)
+        if args.checkpoint:
+            from fitgnn_tpu.train.checkpoint import restore_params
+            params = restore_params(args.checkpoint, params)
+        rep = node_inference_benchmark(
+            model, params, part.subgraphs, part.parent, test, ds.y,
+            num_samples=args.num_test_samples, classify=classify,
+            seed=args.seed)
+
+    tag = "baseline" if baseline else "fitgnn"
+    row = R.format_row(R.INFERENCE_HEADER, {
+        "dataset": args.dataset, "coarsening_method": args.coarsening_method,
+        "coarsening_ratio": args.coarsening_ratio, "exp_setup": tag,
+        "layer_name": args.layer_name, "extra_nodes": args.extra_node,
+        "cluster_node": args.cluster_node,
+        "community_used": args.use_community_detection,
+        "hidden": args.hidden, "num_layers": args.num_layers1,
+        "num_test_samples": rep.num_test_samples,
+        "avg_inf_time": rep.avg_inf_time, "avg_loss": rep.avg_loss,
+        "acc": rep.acc})
+    R.append_csv_row(f"inference_results/{args.task}.csv",
+                     R.INFERENCE_HEADER, row)
+    print(f"inference_results/{args.task}.csv <- {row}")
+    return 0
+
+
+def cmd_memory(args) -> int:
+    from fitgnn_tpu.graph import build_graph
+    from fitgnn_tpu.bench.memory import memory_report
+    from fitgnn_tpu.utils import results as R
+
+    ds = _load_node(args)
+    num_classes = ds.num_classes if args.task == "node_cls" else None
+    train, val, test = _splits(args, ds, num_classes)
+    part = _partition(args, ds, train, val, test, num_classes)
+    g = build_graph(ds.x, ds.senders, ds.receivers)
+    for row_ in memory_report(g, part.subgraphs):
+        row = R.format_row(R.MEMORY_HEADER, {
+            "dataset": args.dataset,
+            "coarsening_method": args.coarsening_method,
+            "coarsening_ratio": args.coarsening_ratio, "task": args.task,
+            "type": f"{row_.kind}:{_node_mode(args)}",
+            "max_memory_usage_graphs": f"{row_.real_mb:.2f}"})
+        R.append_csv_row("memory_usage.csv", R.MEMORY_HEADER, row)
+        print(f"memory_usage.csv <- {row}  (padded: {row_.padded_mb:.2f} MB)")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from fitgnn_tpu.data.stats import node_dataset_stats, DatasetStats
+    from fitgnn_tpu.utils.results import append_csv_row
+
+    ds = _load_node(args)
+    st = node_dataset_stats(args.dataset, ds.x, ds.senders, ds.receivers,
+                            ds.y, classification=args.task == "node_cls")
+    append_csv_row("dataset_info.csv", DatasetStats.CSV_HEADER, st.csv_row())
+    print(st.csv_row())
+    return 0
+
+
+def cmd_save_graphs(args) -> int:
+    from fitgnn_tpu.utils.cache import ArtifactCache, content_key
+
+    ds = _load_node(args)
+    num_classes = ds.num_classes if args.task == "node_cls" else None
+    train, val, test = _splits(args, ds, num_classes)
+    cache = ArtifactCache(os.path.join(args.data_root, args.dataset, "saved"))
+    key = content_key(
+        {"x": ds.x[: 1000], "senders": ds.senders, "receivers": ds.receivers},
+        {"ratio": args.coarsening_ratio, "method": args.coarsening_method,
+         "mode": _node_mode(args), "task": args.task, "seed": args.seed})
+    part, hit = cache.load_or_compute(
+        key, lambda: _partition(args, ds, train, val, test, num_classes))
+    print(f"artifacts {'loaded from' if hit else 'saved to'} cache key {key} "
+          f"({part.num_metanodes} metanodes)")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args = arg_correction(args)
+    cmds = {"train": cmd_train,
+            "infer": lambda a: cmd_infer(a, baseline=False),
+            "infer-baseline": lambda a: cmd_infer(a, baseline=True),
+            "memory": cmd_memory,
+            "stats": cmd_stats,
+            "save-graphs": cmd_save_graphs}
+    return cmds[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
