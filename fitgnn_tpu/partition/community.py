@@ -1,0 +1,129 @@
+"""Community detection (first-party C++ Leiden) + community utilities.
+
+Replaces the reference's python-igraph + leidenalg dependency
+(``main.py:247-267``).  The C++ core (``native/leiden.cpp``) is compiled on
+demand with g++ into ``fitgnn_tpu/native/libleiden.so`` and bound via ctypes
+(no pybind11 in this image).  On top of the raw partition:
+
+* ``merge_communities``  — greedily keep the largest communities until the
+  node cap is reached (reference ``utils.py:132-141`` / 165k-node proxy for
+  ogbn-products, ``main.py:264``);
+* ``community_order``    — node permutation grouping communities contiguously
+  (drives BCSR tile density and shard/host placement).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "leiden.cpp")
+_SO_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO = os.path.join(_SO_DIR, "libleiden.so")
+
+_lib_handle = None
+
+
+def _build() -> None:
+    os.makedirs(_SO_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _lib() -> ctypes.CDLL:
+    global _lib_handle
+    if _lib_handle is not None:
+        return _lib_handle
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.leiden_partition.restype = ctypes.c_int64
+    lib.leiden_partition.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_uint64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+    lib.modularity.restype = ctypes.c_double
+    lib.modularity.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_double]
+    _lib_handle = lib
+    return lib
+
+
+def _as_i64_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def leiden_communities(senders: np.ndarray, receivers: np.ndarray,
+                       num_nodes: int, weight: Optional[np.ndarray] = None,
+                       resolution: float = 1.0, seed: int = 0,
+                       max_levels: int = 20) -> np.ndarray:
+    """Run Leiden; returns (num_nodes,) community labels 0..k-1."""
+    s = np.ascontiguousarray(senders, dtype=np.int64)
+    r = np.ascontiguousarray(receivers, dtype=np.int64)
+    w_ptr = None
+    if weight is not None:
+        w = np.ascontiguousarray(weight, dtype=np.float64)
+        w_ptr = w.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    out = np.empty(num_nodes, dtype=np.int64)
+    k = _lib().leiden_partition(
+        num_nodes, len(s), _as_i64_ptr(s), _as_i64_ptr(r), w_ptr,
+        float(resolution), int(seed), int(max_levels), _as_i64_ptr(out))
+    if k < 0:
+        raise RuntimeError("leiden_partition failed")
+    return out
+
+
+def partition_modularity(senders: np.ndarray, receivers: np.ndarray,
+                         num_nodes: int, labels: np.ndarray,
+                         weight: Optional[np.ndarray] = None,
+                         resolution: float = 1.0) -> float:
+    s = np.ascontiguousarray(senders, dtype=np.int64)
+    r = np.ascontiguousarray(receivers, dtype=np.int64)
+    lab = np.ascontiguousarray(labels, dtype=np.int64)
+    w_ptr = None
+    if weight is not None:
+        w = np.ascontiguousarray(weight, dtype=np.float64)
+        w_ptr = w.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    return float(_lib().modularity(
+        num_nodes, len(s), _as_i64_ptr(s), _as_i64_ptr(r), w_ptr,
+        _as_i64_ptr(lab), float(resolution)))
+
+
+def merge_communities(labels: np.ndarray, cap: int) -> np.ndarray:
+    """Greedily keep the largest communities whose cumulative size stays
+    ≤ cap; returns the selected node indices (reference ``merge_communities``
+    semantics, ``utils.py:132-141``)."""
+    comms, counts = np.unique(labels, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    keep = []
+    total = 0
+    for c in order:
+        if total + counts[c] <= cap:
+            keep.append(comms[c])
+            total += counts[c]
+            if total == cap:
+                break
+    keep_set = np.isin(labels, np.asarray(keep))
+    return np.where(keep_set)[0]
+
+
+def community_order(labels: np.ndarray) -> np.ndarray:
+    """Permutation placing each community's nodes contiguously (larger
+    communities first) — input for BCSR construction and shard placement."""
+    comms, counts = np.unique(labels, return_counts=True)
+    rank = {c: i for i, c in enumerate(comms[np.argsort(-counts,
+                                                        kind="stable")])}
+    key = np.array([rank[c] for c in labels], dtype=np.int64)
+    return np.argsort(key, kind="stable")
