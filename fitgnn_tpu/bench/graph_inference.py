@@ -1,0 +1,49 @@
+"""Graph-level inference timing (reference ``inference.py`` graph tasks):
+per-graph latency through the Gc view and through the Gs subgraph-set view.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List
+
+import jax
+import numpy as np
+
+from fitgnn_tpu.bench.inference import InferenceReport
+from fitgnn_tpu.data.graph_level import GraphSample, collate_graph_level
+from fitgnn_tpu.models.models import GraphModel
+
+
+def graph_inference_benchmark(model: GraphModel, params,
+                              samples: List[GraphSample], y: np.ndarray,
+                              view: str = "gs", classify: bool = True,
+                              seed: int = 0) -> InferenceReport:
+    """Time a single-sample forward per graph (Gc or Gs view)."""
+    times, losses, correct = [], [], 0
+    fwd_gc = jax.jit(lambda p, b: model.apply(p, b.gc.x, b.gc,
+                                              b.gc_graph_ids, 1))
+    fwd_gs = jax.jit(lambda p, b: model.apply(
+        p, b.gs, b.gs_graph_ids, 1, method=GraphModel.forward_subgraphs))
+
+    # bucket by shape signature so each padded shape compiles once
+    for i, smp in enumerate(samples):
+        b = collate_graph_level([smp])
+        fwd = fwd_gc if view == "gc" else fwd_gs
+        t0 = time.perf_counter()
+        out = fwd(params, b)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+        row = np.asarray(out)[0]
+        if classify:
+            losses.append(-np.log(max(row[int(y[i])], 1e-12)))
+            correct += int(row.argmax() == y[i])
+        else:
+            losses.append(abs(float(row[0]) - float(y[i])))
+    n = max(len(samples), 1)
+    return InferenceReport(
+        num_test_samples=len(samples),
+        avg_inf_time=float(np.mean(times[1:]) if len(times) > 1
+                           else np.mean(times)),
+        avg_loss=float(np.mean(losses)),
+        acc=correct / n if classify else 0.0)

@@ -120,9 +120,38 @@ def _node_mode(args) -> str:
     return "plain"
 
 
+COMMUNITY_NODE_CAP = 165_000   # reference main.py:264
+
+
 def _load_node(args):
     from fitgnn_tpu.data.datasets import load_node_dataset
-    return load_node_dataset(args.dataset, args.data_root)
+    ds = load_node_dataset(args.dataset, args.data_root)
+    if getattr(args, "use_community_detection", False):
+        ds = apply_community_proxy(ds, COMMUNITY_NODE_CAP, seed=args.seed)
+    return ds
+
+
+def apply_community_proxy(ds, cap: int, seed: int = 0):
+    """Leiden → keep the largest communities up to ``cap`` nodes → induced
+    subgraph (the reference's ogbn-products proxy, ``main.py:247-267``)."""
+    import dataclasses as _dc
+    from fitgnn_tpu.partition.community import (leiden_communities,
+                                                merge_communities)
+    labels = leiden_communities(ds.senders, ds.receivers, ds.num_nodes,
+                                seed=seed)
+    keep = merge_communities(labels, cap)
+    lookup = np.full(ds.num_nodes, -1, dtype=np.int64)
+    lookup[keep] = np.arange(len(keep))
+    sel = (lookup[ds.senders] >= 0) & (lookup[ds.receivers] >= 0)
+
+    def sub(a):
+        return None if a is None else np.asarray(a)[keep]
+
+    return _dc.replace(
+        ds, x=ds.x[keep], y=np.asarray(ds.y)[keep],
+        senders=lookup[ds.senders[sel]], receivers=lookup[ds.receivers[sel]],
+        train_mask=sub(ds.train_mask), val_mask=sub(ds.val_mask),
+        test_mask=sub(ds.test_mask))
 
 
 def _splits(args, ds, num_classes):

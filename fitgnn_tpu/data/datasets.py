@@ -242,6 +242,47 @@ def load_tu_dataset(root: str, name: str) -> GraphDataset:
 
 
 # ---------------------------------------------------------------------------
+# OGB node-property raw format (ogbn-arxiv / ogbn-products / ogbn-proteins)
+# ---------------------------------------------------------------------------
+
+def load_ogbn(root: str, name: str) -> NodeDataset:
+    """Parse the extracted OGB layout: ``raw/node-feat.csv.gz``,
+    ``raw/edge.csv.gz``, ``raw/node-label.csv.gz`` and the official split
+    index files under ``split/*/{train,valid,test}.csv.gz``."""
+    base = os.path.join(root, name)
+    raw = os.path.join(base, "raw")
+    feat_p = os.path.join(raw, "node-feat.csv.gz")
+    edge_p = os.path.join(raw, "edge.csv.gz")
+    label_p = os.path.join(raw, "node-label.csv.gz")
+    if not (os.path.exists(feat_p) and os.path.exists(edge_p)):
+        raise _missing(name, raw, "OGB node-feat/edge csv.gz files")
+    x = np.loadtxt(feat_p, delimiter=",", dtype=np.float32)
+    edges = np.loadtxt(edge_p, delimiter=",", dtype=np.int64)
+    y = (np.loadtxt(label_p, delimiter=",", dtype=np.int64)
+         if os.path.exists(label_p) else np.zeros(x.shape[0], np.int64))
+    if y.ndim > 1 and y.shape[1] == 1:
+        y = y[:, 0]
+
+    n = x.shape[0]
+    masks = {}
+    split_root = os.path.join(base, "split")
+    if os.path.isdir(split_root):
+        sub = sorted(os.listdir(split_root))
+        if sub:
+            sdir = os.path.join(split_root, sub[0])
+            for part, attr in (("train", "train_mask"), ("valid", "val_mask"),
+                               ("test", "test_mask")):
+                p = os.path.join(sdir, f"{part}.csv.gz")
+                if os.path.exists(p):
+                    idx = np.loadtxt(p, dtype=np.int64).reshape(-1)
+                    m = np.zeros(n, dtype=bool)
+                    m[idx] = True
+                    masks[attr] = m
+    return NodeDataset(name=name, x=x, senders=edges[:, 0],
+                       receivers=edges[:, 1], y=y, **masks)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -255,6 +296,8 @@ def load_node_dataset(name: str, root: str = "./dataset") -> NodeDataset:
         return load_planetoid(root, key)
     if key in NODE_REG:
         return load_wikipedia_network(root, key)
+    if key.startswith("ogbn-"):
+        return load_ogbn(root, key)
     raise _missing(name, root, f"{key}.npz standardized cache")
 
 

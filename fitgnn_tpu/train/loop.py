@@ -78,6 +78,9 @@ class NodeTaskConfig:
     gradient_method: str = "GD"           # or "MB"
     runs: int = 1
     seed: int = 0
+    logdir: Optional[str] = None          # scalar JSONL/TB per run
+    run_intermediate_inference: bool = False
+    intermediate_inference_freq: int = 10
 
 
 def _gs_train_epoch(state, batch, rng, cfg):
@@ -98,6 +101,15 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                       classify=cfg.task == "classification")
     results: List[RunResult] = []
     for run in range(cfg.runs):
+        writer = None
+        if cfg.logdir is not None:
+            from fitgnn_tpu.utils.logging import ScalarWriter
+            writer = ScalarWriter(cfg.logdir, run=run + 1)
+
+        def log(tag, value, step):
+            if writer is not None:
+                writer.add_scalar(tag, value, step)
+
         rng = jax.random.PRNGKey(cfg.seed + run)
         rng, init_rng = jax.random.split(rng)
         example = coarse.graph if coarse is not None else batch.subgraph(0)
@@ -110,13 +122,15 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         if cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train"):
             for epoch in range(cfg.epochs1):
                 rng, step_rng = jax.random.split(rng)
-                state, _ = steps.gc_train_step(
+                state, train_loss = steps.gc_train_step(
                     state, coarse.graph, coarse.y_train, coarse.train_mask,
                     step_rng, cfg.task)
                 val_loss, _ = steps.gc_eval_step(
                     state, coarse.graph, coarse.y_val, coarse.val_mask,
                     cfg.task)
                 val_loss = float(val_loss)
+                log("Gc_train_loss", float(train_loss), epoch)
+                log("Gc_val_loss", val_loss, epoch)
                 if val_loss < best_val or epoch == 0:
                     best_val = val_loss
                     best_params = state.params
@@ -128,13 +142,26 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             best_val = np.inf
             for epoch in range(cfg.epochs2):
                 rng, step_rng = jax.random.split(rng)
-                state, _ = _gs_train_epoch(state, batch, step_rng, cfg)
-                val_loss, _ = steps.gs_eval_step(state, batch, cfg.task,
-                                                 split="val")
+                state, train_loss = _gs_train_epoch(state, batch, step_rng,
+                                                    cfg)
+                val_loss, val_acc = steps.gs_eval_step(state, batch, cfg.task,
+                                                       split="val")
                 val_loss = float(val_loss)
+                log("Gs_train_loss", float(train_loss), epoch)
+                log("Gs_val_loss", val_loss, epoch)
+                log("Gs_val_acc", float(val_acc), epoch)
                 if val_loss < best_val or epoch == 0:
                     best_val = val_loss
                     best_params = state.params
+                if (cfg.run_intermediate_inference
+                        and epoch % cfg.intermediate_inference_freq == 0):
+                    # periodic test with the best-so-far params
+                    # (reference run.py:376-387)
+                    test_state = state.replace(params=best_params)
+                    t_loss, t_acc = steps.gs_eval_step(
+                        test_state, batch, cfg.task, split="test")
+                    log("Gs_test_loss_intermediate", float(t_loss), epoch)
+                    log("Gs_test_acc_intermediate", float(t_acc), epoch)
 
         # test with the best-val params, timed (post-compile re-run)
         state = state.replace(params=best_params)
@@ -147,6 +174,10 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         elapsed = time.perf_counter() - t0
         results.append(RunResult(test_loss=test_loss, test_acc=test_metric,
                                  test_time=elapsed))
+        log("Gs_test_loss", test_loss, run)
+        log("Gs_test_acc", test_metric, run)
+        if writer is not None:
+            writer.close()
         if verbose:
             print(f"run {run}: test_loss={test_loss:.4f} "
                   f"metric={test_metric:.4f}")
