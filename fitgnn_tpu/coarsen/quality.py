@@ -30,6 +30,25 @@ def eigenvalue_errors(W: sp.spmatrix, C: sp.csr_matrix, kmax: int = 10
     return err
 
 
+def subspace_angles(W: sp.spmatrix, C: sp.csr_matrix, kmax: int = 10
+                    ) -> np.ndarray:
+    """sin-θ-style subspace error between the bottom-k eigenvectors of L and
+    the lifted eigenvectors of Lc = C·L·Cᵀ (reference ``error_sintheta``,
+    ``coarsening_utils.py:339-346``): for each k, the Frobenius energy of the
+    angle-matrix block coupling the preserved and discarded subspaces."""
+    g = LapGraph(W)
+    n = C.shape[0]
+    k = min(kmax, n - 1, g.N - 1)
+    _, U = bottom_k_eigen(g, k)
+    Lc = (C @ g.L @ C.T).toarray()
+    _, Uc = np.linalg.eigh((Lc + Lc.T) * 0.5)
+    angle = U.T @ (C.T @ Uc)          # (k, n)
+    out = np.zeros(k)
+    for idx in range(1, k):
+        out[idx] = np.linalg.norm(angle[: idx + 1, idx + 1:], ord="fro") ** 2
+    return out
+
+
 def rayleigh_preservation(W: sp.spmatrix, C: sp.csr_matrix,
                           Wc: sp.spmatrix, kmax: int = 10) -> np.ndarray:
     """For the bottom-k eigenvectors u of L: |R_c(Cu) − R(u)| / max(R(u), ε)

@@ -242,6 +242,67 @@ def load_tu_dataset(root: str, name: str) -> GraphDataset:
 
 
 # ---------------------------------------------------------------------------
+# WikiCS json + Coauthor/Attributed-graph npz formats
+# ---------------------------------------------------------------------------
+
+def load_wikics(root: str) -> NodeDataset:
+    """WikiCS ``data.json``: features, links (adjacency lists), labels, and
+    the 20 official split columns (first split used)."""
+    import json as _json
+    path = os.path.join(root, "wikics", "raw", "data.json")
+    if not os.path.exists(path):
+        raise _missing("wikics", os.path.dirname(path), "data.json")
+    with open(path) as f:
+        d = _json.load(f)
+    x = np.asarray(d["features"], dtype=np.float32)
+    y = np.asarray(d["labels"], dtype=np.int64)
+    senders, receivers = [], []
+    for u, nbrs in enumerate(d["links"]):
+        for v in nbrs:
+            senders.append(u)
+            receivers.append(v)
+    tm = np.asarray(d["train_masks"], dtype=bool)
+    vm = np.asarray(d["val_masks"], dtype=bool)
+    test = np.asarray(d["test_mask"], dtype=bool)
+    return NodeDataset(
+        name="wikics", x=x, senders=np.asarray(senders, np.int64),
+        receivers=np.asarray(receivers, np.int64), y=y,
+        train_mask=tm[0] if tm.ndim > 1 else tm,
+        val_mask=vm[0] if vm.ndim > 1 else vm, test_mask=test)
+
+
+def load_attributed_npz(root: str, name: str) -> NodeDataset:
+    """The GNN-benchmark npz layout used by Coauthor Physics / Amazon /
+    (also works for many published .npz graph dumps): CSR adjacency
+    (``adj_{data,indices,indptr,shape}``), CSR or dense features
+    (``attr_*`` / ``attr_matrix``), ``labels``."""
+    path = os.path.join(root, name, "raw", f"{name}.npz")
+    if not os.path.exists(path):
+        matches = []
+        raw = os.path.join(root, name, "raw")
+        if os.path.isdir(raw):
+            matches = [f for f in os.listdir(raw) if f.endswith(".npz")]
+        if matches:
+            path = os.path.join(raw, matches[0])
+        else:
+            raise _missing(name, raw, "GNN-benchmark npz file")
+    import scipy.sparse as sp
+    with np.load(path, allow_pickle=True) as z:
+        adj = sp.csr_matrix((z["adj_data"], z["adj_indices"],
+                             z["adj_indptr"]), shape=z["adj_shape"])
+        if "attr_data" in z:
+            x = np.asarray(sp.csr_matrix(
+                (z["attr_data"], z["attr_indices"], z["attr_indptr"]),
+                shape=z["attr_shape"]).todense(), dtype=np.float32)
+        else:
+            x = np.asarray(z["attr_matrix"], dtype=np.float32)
+        y = np.asarray(z["labels"], dtype=np.int64)
+    coo = adj.tocoo()
+    return NodeDataset(name=name, x=x, senders=coo.row.astype(np.int64),
+                       receivers=coo.col.astype(np.int64), y=y)
+
+
+# ---------------------------------------------------------------------------
 # OGB node-property raw format (ogbn-arxiv / ogbn-products / ogbn-proteins)
 # ---------------------------------------------------------------------------
 
@@ -298,6 +359,10 @@ def load_node_dataset(name: str, root: str = "./dataset") -> NodeDataset:
         return load_wikipedia_network(root, key)
     if key.startswith("ogbn-"):
         return load_ogbn(root, key)
+    if key == "wikics":
+        return load_wikics(root)
+    if key in ("physics", "dblp", "flickr"):
+        return load_attributed_npz(root, key)
     raise _missing(name, root, f"{key}.npz standardized cache")
 
 

@@ -43,6 +43,8 @@ class Graph(NamedTuple):
     train_mask: Optional[jnp.ndarray] = None  # (N_pad,) bool
     val_mask: Optional[jnp.ndarray] = None    # (N_pad,) bool
     test_mask: Optional[jnp.ndarray] = None   # (N_pad,) bool
+    aux: Optional[object] = None       # precomputed operator structure
+                                       # (e.g. ops.hybrid_spmm.HybridSpmm)
 
     # --- derived (cheap, traced) -------------------------------------------
     @property

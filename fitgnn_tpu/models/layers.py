@@ -43,8 +43,13 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
         h = nn.Dense(self.features, use_bias=False, name="lin")(x)
-        out = spmm_coo(g.edge_weight, g.senders, g.receivers, h,
-                       g.num_nodes_padded)
+        aux = g.aux
+        if aux is not None and type(aux).__name__ == "HybridSpmm":
+            from fitgnn_tpu.ops.hybrid_spmm import hybrid_spmm
+            out = hybrid_spmm(aux, h)
+        else:
+            out = spmm_coo(g.edge_weight, g.senders, g.receivers, h,
+                           g.num_nodes_padded)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,), x.dtype)

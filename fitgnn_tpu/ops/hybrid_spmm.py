@@ -1,0 +1,84 @@
+"""Hybrid BCSR + COO SpMM.
+
+Community-reordered graphs put most edges inside dense 128×128 adjacency
+tiles (MXU food, streamed at HBM bandwidth), but a power-law tail of cut
+edges would fill millions of nearly-empty tiles.  The hybrid splits edges by
+tile occupancy:
+
+* tiles with ≥ ``min_block_edges`` edges → dense BCSR tiles (Pallas MXU
+  kernel, ``ops/pallas/bsr_spmm.py``);
+* the remainder → COO gather + sorted segment-sum.
+
+Both halves are differentiable (BCSR via its transpose-structure VJP); the
+adjacency is constant in every FIT-GNN mode so only dX flows.
+
+Traffic model: a dense tile costs ~(64 + 2·F/256) KB; a COO edge costs
+~F·4 B gathered + amortized output.  With F=512 the break-even is ≈150
+edges/tile — the default threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+import flax.struct
+
+from fitgnn_tpu.ops.pallas.bsr_spmm import BsrMatrix, build_bsr, bsr_spmm, BLOCK
+from fitgnn_tpu.ops.spmm import spmm_coo
+
+
+@flax.struct.dataclass
+class HybridSpmm:
+    bsr: Optional[BsrMatrix]           # None when no tile is dense enough
+    senders: jnp.ndarray               # COO remainder (sorted by receiver)
+    receivers: jnp.ndarray
+    weights: jnp.ndarray
+    num_nodes: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_coo_edges(self) -> int:
+        return self.senders.shape[0]
+
+
+def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
+                 weight: np.ndarray, num_nodes_padded: int,
+                 min_block_edges: int = 150,
+                 block: int = BLOCK) -> HybridSpmm:
+    """Split edges by tile occupancy and build both structures (host-side)."""
+    assert num_nodes_padded % block == 0
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float32)
+    nb = num_nodes_padded // block
+    tile = (receivers // block) * nb + (senders // block)
+    uniq, inv, counts = np.unique(tile, return_inverse=True,
+                                  return_counts=True)
+    dense_edge = counts[inv] >= min_block_edges
+
+    bsr = None
+    if dense_edge.any():
+        bsr = build_bsr(senders[dense_edge].astype(np.int64),
+                        receivers[dense_edge].astype(np.int64),
+                        weight[dense_edge], num_nodes_padded, block=block)
+
+    cs, cr, cw = (senders[~dense_edge], receivers[~dense_edge],
+                  weight[~dense_edge])
+    order = np.argsort(cr, kind="stable")
+    cs, cr, cw = cs[order], cr[order], cw[order]
+    if len(cs) == 0:  # keep shapes non-empty for jit friendliness
+        cs = np.array([num_nodes_padded - 1], dtype=np.int64)
+        cr = np.array([num_nodes_padded - 1], dtype=np.int64)
+        cw = np.array([0.0], dtype=np.float32)
+    return HybridSpmm(
+        bsr=bsr, senders=jnp.asarray(cs, dtype=jnp.int32),
+        receivers=jnp.asarray(cr, dtype=jnp.int32),
+        weights=jnp.asarray(cw), num_nodes=num_nodes_padded)
+
+
+def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    out = spmm_coo(h.weights, h.senders, h.receivers, x, h.num_nodes)
+    if h.bsr is not None:
+        out = out + bsr_spmm(h.bsr, x)
+    return out
