@@ -70,69 +70,93 @@ def extract_subgraphs(
             "cluster_node needs coarse features and coarse adjacency"
         coarse_W = sp.csr_matrix(coarse_W)
 
-    # members per metanode (vectorized group-by)
+    # ---- vectorized global precomputation (no per-metanode graph slicing;
+    # the reference's per-metanode Python-dict loop is its hot spot #3) ----
+    coo = W.tocoo()
+    es, er = coo.row.astype(np.int64), coo.col.astype(np.int64)
+    ps, pr = parent[es], parent[er]
+    intra = ps == pr
+    # group intra edges by metanode
+    ie_s, ie_r = es[intra], er[intra]
+    ie_m = ps[intra]
+    ie_order = np.argsort(ie_m, kind="stable")
+    ie_s, ie_r, ie_m = ie_s[ie_order], ie_r[ie_order], ie_m[ie_order]
+    ie_bounds = np.searchsorted(ie_m, np.arange(num_meta + 1))
+    # group boundary edges (u → v, different metanode) by parent[u]
+    be_s, be_t = es[~intra], er[~intra]
+    be_m = ps[~intra]
+    be_order = np.argsort(be_m, kind="stable")
+    be_s, be_t, be_m = be_s[be_order], be_t[be_order], be_m[be_order]
+    be_bounds = np.searchsorted(be_m, np.arange(num_meta + 1))
+
+    # members per metanode + global→core-local index
     order = np.argsort(parent, kind="stable")
     bounds = np.searchsorted(parent[order], np.arange(num_meta + 1))
-    specs: List[SubgraphSpec] = []
-    indptr, indices = W.indptr, W.indices
+    lookup = np.full(N, -1, dtype=np.int64)
 
+    specs: List[SubgraphSpec] = []
     for m in range(num_meta):
         core = np.sort(order[bounds[m]:bounds[m + 1]])
-        in_core = np.zeros(N, dtype=bool)
-        in_core[core] = True
-        # neighbors of the core (concatenated CSR rows)
-        neigh = np.unique(np.concatenate(
-            [indices[indptr[i]:indptr[i + 1]] for i in core])) \
-            if len(core) else np.empty(0, dtype=indices.dtype)
-        outside = neigh[~in_core[neigh]]
+        i_s = ie_s[ie_bounds[m]:ie_bounds[m + 1]]
+        i_r = ie_r[ie_bounds[m]:ie_bounds[m + 1]]
+        b_s = be_s[be_bounds[m]:be_bounds[m + 1]]
+        b_t = be_t[be_bounds[m]:be_bounds[m + 1]]
 
         if mode == "extra_node":
-            nodes = np.sort(np.concatenate([core, outside]))
-            consume = in_core[nodes]
-            s_loc, r_loc = _induced_edges(W, nodes, N)
+            halo = np.unique(b_t)
+            nodes = np.sort(np.concatenate([core, halo]))
+            lookup[nodes] = np.arange(len(nodes))
+            # induced edges: core-core + core↔halo + halo-halo(within set)
+            # halo-halo edges are boundary edges of OTHER metanodes whose
+            # endpoints both landed in this node set — recover them from the
+            # halo nodes' CSR rows (small: only halo rows touched)
+            hh_s, hh_r = _rows_within(W, halo, nodes, N)
+            s_loc = np.concatenate([lookup[i_s], lookup[b_s], lookup[b_t],
+                                    hh_s])
+            r_loc = np.concatenate([lookup[i_r], lookup[b_t], lookup[b_s],
+                                    hh_r])
+            # dedupe (core↔halo appear once per direction already; halo rows
+            # re-add halo→core duplicates)
+            key = s_loc * len(nodes) + r_loc
+            _, keep = np.unique(key, return_index=True)
+            s_loc, r_loc = s_loc[keep], r_loc[keep]
+            consume = np.zeros(len(nodes), dtype=bool)
+            consume[lookup[core]] = True
             feats = x[nodes]
             orig = nodes
+            lookup[nodes] = -1
         elif mode == "cluster_node":
-            nodes = core
-            consume_core = np.ones(len(core), dtype=bool)
-            s_loc, r_loc = _induced_edges(W, nodes, N)
-            # which clusters touch which core nodes: boundary edges (u∈core →
-            # v∉core) mapped to parent[v]
-            lookup = np.full(N, -1, dtype=np.int64)
-            lookup[nodes] = np.arange(len(nodes))
-            bs, bt = _boundary_edges(W, core, in_core)
-            bclusters = parent[bt]
-            clusters, cl_inv = np.unique(bclusters, return_inverse=True)
+            lookup[core] = np.arange(len(core))
+            clusters, cl_inv = np.unique(parent[b_t], return_inverse=True)
             n_sum = len(clusters)
-            # summary nodes appended after core
             sum_ids = len(core) + np.arange(n_sum)
-            e1 = lookup[bs]
+            e1 = lookup[b_s]
             e2 = sum_ids[cl_inv]
-            # dedupe node↔summary edges
-            key = e1.astype(np.int64) * (len(core) + n_sum) + e2
+            key = e1 * (len(core) + n_sum) + e2
             _, keep = np.unique(key, return_index=True)
             e1, e2 = e1[keep], e2[keep]
-            # summary↔summary edges from coarse adjacency
-            ss_s, ss_r = [], []
+            ss_s = np.empty(0, dtype=np.int64)
+            ss_r = np.empty(0, dtype=np.int64)
             if n_sum > 1:
                 sub_cw = coarse_W[clusters][:, clusters].tocoo()
                 upper = sub_cw.row < sub_cw.col
                 ss_s = sum_ids[sub_cw.row[upper]]
                 ss_r = sum_ids[sub_cw.col[upper]]
-            s_loc = np.concatenate([s_loc, e1, e2, np.asarray(ss_s, dtype=np.int64),
-                                    np.asarray(ss_r, dtype=np.int64)])
-            r_loc = np.concatenate([r_loc, e2, e1, np.asarray(ss_r, dtype=np.int64),
-                                    np.asarray(ss_s, dtype=np.int64)])
+            s_loc = np.concatenate([lookup[i_s], e1, e2, ss_s, ss_r])
+            r_loc = np.concatenate([lookup[i_r], e2, e1, ss_r, ss_s])
             feats = np.concatenate([x[core], coarse_x[clusters]], axis=0) \
                 if n_sum else x[core]
-            consume = np.concatenate([consume_core, np.zeros(n_sum, dtype=bool)])
+            consume = np.concatenate([np.ones(len(core), dtype=bool),
+                                      np.zeros(n_sum, dtype=bool)])
             orig = np.concatenate([core, np.full(n_sum, -1, dtype=np.int64)])
+            lookup[core] = -1
         else:  # plain
-            nodes = core
+            lookup[core] = np.arange(len(core))
+            s_loc, r_loc = lookup[i_s], lookup[i_r]
             consume = np.ones(len(core), dtype=bool)
-            s_loc, r_loc = _induced_edges(W, nodes, N)
-            feats = x[nodes]
-            orig = nodes
+            feats = x[core]
+            orig = core
+            lookup[core] = -1
 
         specs.append(SubgraphSpec(
             orig_idx=np.asarray(orig, dtype=np.int64),
@@ -143,27 +167,26 @@ def extract_subgraphs(
     return specs
 
 
-def _induced_edges(W: sp.csr_matrix, nodes: np.ndarray, N: int):
-    """Local edge list (both directions) of the induced subgraph."""
-    if len(nodes) == 0:
+def _rows_within(W: sp.csr_matrix, rows: np.ndarray, node_set: np.ndarray,
+                 N: int):
+    """Edges from ``rows`` to targets inside ``node_set`` (local ids)."""
+    if len(rows) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    sub = W[nodes][:, nodes].tocoo()
-    return sub.row.astype(np.int64), sub.col.astype(np.int64)
-
-
-def _boundary_edges(W: sp.csr_matrix, core: np.ndarray, in_core: np.ndarray):
-    """Directed boundary edges u∈core → v∉core (global ids)."""
+    member = np.zeros(N, dtype=bool)
+    member[node_set] = True
+    local = np.full(N, -1, dtype=np.int64)
+    local[node_set] = np.arange(len(node_set))
     indptr, indices = W.indptr, W.indices
-    srcs, dsts = [], []
-    for u in core:
+    out_s, out_r = [], []
+    for u in rows:
         nb = indices[indptr[u]:indptr[u + 1]]
-        ext = nb[~in_core[nb]]
-        if len(ext):
-            srcs.append(np.full(len(ext), u, dtype=np.int64))
-            dsts.append(ext.astype(np.int64))
-    if not srcs:
+        nb = nb[member[nb]]
+        if len(nb):
+            out_s.append(np.full(len(nb), local[u], dtype=np.int64))
+            out_r.append(local[nb].astype(np.int64))
+    if not out_s:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(srcs), np.concatenate(dsts)
+    return np.concatenate(out_s), np.concatenate(out_r)
 
 
 def pad_subgraphs(
