@@ -89,14 +89,27 @@ def build_graph(
         edge_weight = np.ones(senders.shape[0], dtype=np.float32)
     edge_weight = np.asarray(edge_weight, dtype=np.float32)
 
-    if undirected and senders.size:
-        senders, receivers, edge_weight = to_undirected(senders, receivers, edge_weight)
-    if self_loops:
-        senders, receivers, edge_weight = add_self_loops(
-            senders, receivers, edge_weight, num_nodes)
-    if normalize:
-        edge_weight = gcn_normalize(senders, receivers, edge_weight, num_nodes)
-    senders, receivers, edge_weight = sort_by_receiver(senders, receivers, edge_weight)
+    uniform = bool(np.all(edge_weight == 1.0)) if edge_weight.size else True
+    if uniform and senders.size > 2_000_000:
+        # large unweighted graphs: one-pass C++ ingest core
+        from fitgnn_tpu.graph.native_build import build_edges_native
+        senders, receivers, edge_weight = build_edges_native(
+            senders, receivers, num_nodes, undirected=undirected,
+            self_loops=self_loops, normalize=normalize)
+        senders = senders.astype(np.int32)
+        receivers = receivers.astype(np.int32)
+    else:
+        if undirected and senders.size:
+            senders, receivers, edge_weight = to_undirected(
+                senders, receivers, edge_weight)
+        if self_loops:
+            senders, receivers, edge_weight = add_self_loops(
+                senders, receivers, edge_weight, num_nodes)
+        if normalize:
+            edge_weight = gcn_normalize(senders, receivers, edge_weight,
+                                        num_nodes)
+        senders, receivers, edge_weight = sort_by_receiver(
+            senders, receivers, edge_weight)
 
     num_edges = int(senders.shape[0])
     n_pad = max(_round_up(num_nodes + 1, node_pad_to), node_pad_to)

@@ -56,7 +56,7 @@ def main():
     print(f"coo            : {per*1e3:7.2f} ms -> {E/per/1e6:8.1f} M edges/s")
 
     # --- hybrid -------------------------------------------------------------
-    for thresh in (50, 150, 400):
+    for thresh in (150,):
         h = build_hybrid(senders, receivers, w, N, min_block_edges=thresh)
         nb = 0 if h.bsr is None else h.bsr.nnz_blocks
         dense_edges = E - h.num_coo_edges
