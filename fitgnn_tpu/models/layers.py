@@ -20,7 +20,7 @@ via the weight vector (GCN) or the edge mask (others).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -39,10 +39,13 @@ def _nonself_weight(g: Graph) -> jnp.ndarray:
 class GCNConv(nn.Module):
     features: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 halves the
+                                        # gather/scatter HBM traffic)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
-        h = nn.Dense(self.features, use_bias=False, name="lin")(x)
+        h = nn.Dense(self.features, use_bias=False, name="lin",
+                     dtype=self.dtype)(x)
         aux = g.aux
         if aux is not None and type(aux).__name__ == "HybridSpmm":
             from fitgnn_tpu.ops.hybrid_spmm import hybrid_spmm
@@ -52,7 +55,8 @@ class GCNConv(nn.Module):
                            g.num_nodes_padded)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
-                                   (self.features,), x.dtype)
+                                   (self.features,), jnp.float32
+                                   ).astype(out.dtype)
         return out
 
 
@@ -122,8 +126,11 @@ LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
 }
 
 
-def make_layer(layer_name: str, features: int) -> nn.Module:
+def make_layer(layer_name: str, features: int,
+               dtype: Optional[jnp.dtype] = None) -> nn.Module:
     if layer_name not in LAYER_REGISTRY:
         raise ValueError(
             f"unknown layer {layer_name!r}; choose from {sorted(LAYER_REGISTRY)}")
+    if layer_name == "GCNConv" and dtype is not None:
+        return GCNConv(features=features, dtype=dtype)
     return LAYER_REGISTRY[layer_name](features=features)

@@ -36,11 +36,12 @@ class ConvStack(nn.Module):
     hidden: int
     num_layers: int
     dropout_rate: float = 0.5
+    dtype: Optional[jnp.dtype] = None   # compute dtype (e.g. bf16)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         for i in range(self.num_layers):
-            x = make_layer(self.layer_name, self.hidden)(x, g)
+            x = make_layer(self.layer_name, self.hidden, self.dtype)(x, g)
             x = nn.elu(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
@@ -52,12 +53,14 @@ class NodeModel(nn.Module):
     num_layers: int
     out_dim: int          # num_classes, or 1 for regression
     classify: bool = True
+    dtype: Optional[jnp.dtype] = None   # conv-stack compute dtype; the head
+                                        # and softmax stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         x = ConvStack(self.layer_name, self.hidden, self.num_layers,
-                      name="convs")(x, g, train=train)
-        x = nn.Dense(self.out_dim, name="head")(x)
+                      dtype=self.dtype, name="convs")(x, g, train=train)
+        x = nn.Dense(self.out_dim, name="head")(x.astype(jnp.float32))
         if self.classify:
             return nn.log_softmax(x, axis=-1)
         return x

@@ -16,8 +16,9 @@ graph's sink node with weight 0.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import flax.struct
@@ -34,11 +35,12 @@ class EllBucket:
 class EllMatrix:
     buckets: Tuple[EllBucket, ...]
     num_nodes: int = flax.struct.field(pytree_node=False)
+    transpose: Optional["EllMatrix"] = None   # for the scatter-free VJP
 
 
 def build_ell(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
               num_nodes_padded: int, min_k: int = 4,
-              max_k: int = 4096) -> EllMatrix:
+              max_k: int = 4096, with_transpose: bool = True) -> EllMatrix:
     """Build degree-bucketed ELL tables (host-side). Receivers need not be
     sorted.  Nodes with degree > max_k overflow into extra rows of the same
     bucket (their partial sums share the output row via duplicate row ids —
@@ -57,6 +59,11 @@ def build_ell(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
 
     # bucket nodes by ceil-pow2 degree
     buckets: List[EllBucket] = []
+    t = None
+    if with_transpose:
+        t = build_ell(receivers, senders, weight, num_nodes_padded,
+                      min_k=min_k, max_k=max_k, with_transpose=False)
+
     deg_nodes = np.where(deg > 0)[0]
     if len(deg_nodes) == 0:
         k = min_k
@@ -66,7 +73,7 @@ def build_ell(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
         return EllMatrix(buckets=(EllBucket(
             rows=jnp.asarray(rows, dtype=jnp.int32),
             cols=jnp.asarray(cols, dtype=jnp.int32),
-            weights=jnp.asarray(ws)),), num_nodes=n)
+            weights=jnp.asarray(ws)),), num_nodes=n, transpose=t)
 
     kmax = int(deg[deg_nodes].max())
     k = min_k
@@ -96,14 +103,36 @@ def build_ell(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
         if k >= kmax or k >= max_k:
             break
         k *= 2
-    return EllMatrix(buckets=tuple(buckets), num_nodes=n)
+    return EllMatrix(buckets=tuple(buckets), num_nodes=n, transpose=t)
 
 
-def ell_spmm(m: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """out = A·x via scatter-free bucketed gathers. (N_pad, F) → (N_pad, F)."""
+def _ell_apply(m: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
     out = jnp.zeros((m.num_nodes, x.shape[1]), dtype=x.dtype)
     for b in m.buckets:
         gathered = x[b.cols]                       # (nb, K, F)
         agg = jnp.einsum("bk,bkf->bf", b.weights.astype(x.dtype), gathered)
         out = out.at[b.rows].set(agg)              # disjoint rows
     return out
+
+
+@jax.custom_vjp
+def ell_spmm(m: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """out = A·x via scatter-free bucketed gathers. (N_pad, F) → (N_pad, F).
+
+    The VJP runs Aᵀ·g through the transpose ELL structure, so the backward
+    pass is scatter-free too (autodiff of the gather would emit an unsorted
+    scatter-add — the slowest memory pattern on TPU)."""
+    return _ell_apply(m, x)
+
+
+def _ell_fwd(m, x):
+    return _ell_apply(m, x), m
+
+
+def _ell_bwd(m, g):
+    if m.transpose is None:
+        raise ValueError("build_ell(with_transpose=True) required for grad")
+    return None, _ell_apply(m.transpose, g)
+
+
+ell_spmm.defvjp(_ell_fwd, _ell_bwd)

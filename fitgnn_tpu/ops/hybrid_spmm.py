@@ -26,20 +26,20 @@ import jax.numpy as jnp
 import flax.struct
 
 from fitgnn_tpu.ops.pallas.bsr_spmm import BsrMatrix, build_bsr, bsr_spmm, BLOCK
+from fitgnn_tpu.ops.ell_spmm import EllMatrix, build_ell, ell_spmm
 from fitgnn_tpu.ops.spmm import spmm_coo
 
 
 @flax.struct.dataclass
 class HybridSpmm:
     bsr: Optional[BsrMatrix]           # None when no tile is dense enough
-    senders: jnp.ndarray               # COO remainder (sorted by receiver)
-    receivers: jnp.ndarray
-    weights: jnp.ndarray
+    ell: Optional[EllMatrix]           # straggler edges (scatter-free)
+    num_coo: int = flax.struct.field(pytree_node=False)
     num_nodes: int = flax.struct.field(pytree_node=False)
 
     @property
     def num_coo_edges(self) -> int:
-        return self.senders.shape[0]
+        return self.num_coo
 
 
 def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
@@ -65,20 +65,18 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
 
     cs, cr, cw = (senders[~dense_edge], receivers[~dense_edge],
                   weight[~dense_edge])
-    order = np.argsort(cr, kind="stable")
-    cs, cr, cw = cs[order], cr[order], cw[order]
-    if len(cs) == 0:  # keep shapes non-empty for jit friendliness
-        cs = np.array([num_nodes_padded - 1], dtype=np.int64)
-        cr = np.array([num_nodes_padded - 1], dtype=np.int64)
-        cw = np.array([0.0], dtype=np.float32)
-    return HybridSpmm(
-        bsr=bsr, senders=jnp.asarray(cs, dtype=jnp.int32),
-        receivers=jnp.asarray(cr, dtype=jnp.int32),
-        weights=jnp.asarray(cw), num_nodes=num_nodes_padded)
+    ell = None
+    if len(cs):
+        ell = build_ell(cs, cr, cw, num_nodes_padded)
+    return HybridSpmm(bsr=bsr, ell=ell, num_coo=int(len(cs)),
+                      num_nodes=num_nodes_padded)
 
 
 def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
-    out = spmm_coo(h.weights, h.senders, h.receivers, x, h.num_nodes)
+    if h.ell is not None:
+        out = ell_spmm(h.ell, x)
+    else:
+        out = jnp.zeros((h.num_nodes, x.shape[1]), dtype=x.dtype)
     if h.bsr is not None:
         out = out + bsr_spmm(h.bsr, x)
     return out
