@@ -195,6 +195,9 @@ def cmd_train(args) -> int:
     part = _partition(args, ds, train, val, test, num_classes)
 
     task = "classification" if args.task == "node_cls" else "regression"
+    save_dir = os.path.join("save", args.task,
+                            "baseline" if args.baseline else "",
+                            args.output_dir)
     cfg = NodeTaskConfig(
         layer_name=args.layer_name, hidden=args.hidden,
         num_layers=args.num_layers1, task=task,
@@ -203,7 +206,8 @@ def cmd_train(args) -> int:
         else "Gs_train_2_Gs_infer",
         epochs1=args.epochs1, epochs2=args.epochs2, lr=args.lr,
         weight_decay=args.weight_decay, gradient_method=args.gradient_method,
-        runs=args.runs, seed=args.seed)
+        runs=args.runs, seed=args.seed, logdir=save_dir,
+        save_path=os.path.join(save_dir, "model"))
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     s = res.summary
 

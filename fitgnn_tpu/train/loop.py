@@ -81,6 +81,8 @@ class NodeTaskConfig:
     logdir: Optional[str] = None          # scalar JSONL/TB per run
     run_intermediate_inference: bool = False
     intermediate_inference_freq: int = 10
+    save_path: Optional[str] = None       # orbax dir for best-val params
+                                          # (reference model.pt, run.py:355)
 
 
 def _gs_train_epoch(state, batch, rng, cfg):
@@ -174,6 +176,9 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         elapsed = time.perf_counter() - t0
         results.append(RunResult(test_loss=test_loss, test_acc=test_metric,
                                  test_time=elapsed))
+        if cfg.save_path is not None:
+            from fitgnn_tpu.train.checkpoint import save_params
+            save_params(cfg.save_path, best_params)
         log("Gs_test_loss", test_loss, run)
         log("Gs_test_acc", test_metric, run)
         if writer is not None:
