@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.struct
 
@@ -33,13 +34,17 @@ from fitgnn_tpu.ops.spmm import spmm_coo
 @flax.struct.dataclass
 class HybridSpmm:
     bsr: Optional[BsrMatrix]           # None when no tile is dense enough
-    ell: Optional[EllMatrix]           # straggler edges (scatter-free)
-    num_coo: int = flax.struct.field(pytree_node=False)
+    senders: jnp.ndarray               # straggler COO, receiver-sorted
+    receivers: jnp.ndarray
+    weights: jnp.ndarray
+    t_senders: jnp.ndarray             # transpose COO (for the VJP),
+    t_receivers: jnp.ndarray           # receiver-sorted in transpose space
+    t_weights: jnp.ndarray
     num_nodes: int = flax.struct.field(pytree_node=False)
 
     @property
     def num_coo_edges(self) -> int:
-        return self.num_coo
+        return self.senders.shape[0]
 
 
 def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
@@ -65,18 +70,46 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
 
     cs, cr, cw = (senders[~dense_edge], receivers[~dense_edge],
                   weight[~dense_edge])
-    ell = None
-    if len(cs):
-        ell = build_ell(cs, cr, cw, num_nodes_padded)
-    return HybridSpmm(bsr=bsr, ell=ell, num_coo=int(len(cs)),
+    if len(cs) == 0:  # keep shapes non-empty for jit friendliness
+        cs = np.array([num_nodes_padded - 1], dtype=np.int64)
+        cr = np.array([num_nodes_padded - 1], dtype=np.int64)
+        cw = np.array([0.0], dtype=np.float32)
+
+    def sorted_by(recv, s, r, w):
+        order = np.argsort(recv, kind="stable")
+        return (jnp.asarray(s[order], dtype=jnp.int32),
+                jnp.asarray(r[order], dtype=jnp.int32),
+                jnp.asarray(w[order]))
+
+    s_f, r_f, w_f = sorted_by(cr, cs, cr, cw)
+    # transpose: roles swap; sort by the transpose's receiver (= sender)
+    s_t, r_t, w_t = sorted_by(cs, cr, cs, cw)
+    return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
+                      t_senders=s_t, t_receivers=r_t, t_weights=w_t,
                       num_nodes=num_nodes_padded)
 
 
+@jax.custom_vjp
+def _coo_part(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    return spmm_coo(h.weights, h.senders, h.receivers, x, h.num_nodes)
+
+
+def _coo_part_fwd(h, x):
+    return _coo_part(h, x), h
+
+
+def _coo_part_bwd(h, g):
+    # dx = Aᵀ·g through the pre-sorted transpose edge list: both the gather
+    # and the scatter stay sorted (autodiff would emit an unsorted scatter)
+    dx = spmm_coo(h.t_weights, h.t_senders, h.t_receivers, g, h.num_nodes)
+    return None, dx
+
+
+_coo_part.defvjp(_coo_part_fwd, _coo_part_bwd)
+
+
 def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
-    if h.ell is not None:
-        out = ell_spmm(h.ell, x)
-    else:
-        out = jnp.zeros((h.num_nodes, x.shape[1]), dtype=x.dtype)
+    out = _coo_part(h, x)
     if h.bsr is not None:
         out = out + bsr_spmm(h.bsr, x)
     return out
