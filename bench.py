@@ -18,12 +18,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REF_EDGES_PER_SEC = 5.0e7
+BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "float32")
 
 NUM_NODES = 169_344          # 1323 x 128 — ogbn-arxiv scale
 COMM = 128
@@ -85,8 +87,10 @@ def main():
           f"of {num_edges}", file=sys.stderr)
     g = g._replace(aux=hyb)
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
     model = NodeModel(layer_name="GCNConv", hidden=HIDDEN, num_layers=2,
-                      out_dim=NUM_CLASSES)
+                      out_dim=NUM_CLASSES, dtype=dtype)
     state = create_state(model, jax.random.PRNGKey(0), g.x, g)
     yv, mv = g.y, g.train_mask
     key = jax.random.PRNGKey(1)
