@@ -2,13 +2,18 @@ from fitgnn_tpu.parallel.mesh import make_mesh, DATA_AXIS
 from fitgnn_tpu.parallel.shard import ShardedGraph, shard_graph
 from fitgnn_tpu.parallel.dist_model import (
     DistGCNConv, DistConvStack, DistNodeModel,
+    DistGCNConvHalo, DistNodeModelHalo,
 )
 from fitgnn_tpu.parallel.dist_train import (
     create_dist_state, make_dist_train_step, make_dist_eval_step,
+    make_halo_train_step,
 )
+from fitgnn_tpu.parallel.halo import HaloPlan, build_halo_plan, halo_exchange
 
 __all__ = [
     "make_mesh", "DATA_AXIS", "ShardedGraph", "shard_graph",
     "DistGCNConv", "DistConvStack", "DistNodeModel",
+    "DistGCNConvHalo", "DistNodeModelHalo",
     "create_dist_state", "make_dist_train_step", "make_dist_eval_step",
+    "make_halo_train_step", "HaloPlan", "build_halo_plan", "halo_exchange",
 ]

@@ -85,6 +85,49 @@ def make_dist_train_step(mesh: Mesh, model: DistNodeModel):
     return jax.jit(step)
 
 
+def make_halo_train_step(mesh: Mesh, model, plan):
+    """Train step over the boundary-exchange plan (DistNodeModelHalo):
+    identical loss/grad semantics to ``make_dist_train_step`` but the
+    per-layer collective moves only boundary rows."""
+    from fitgnn_tpu.parallel.halo import HaloPlan
+
+    plan_spec = HaloPlan(
+        send_idx=P(DATA_AXIS), send_mask=P(DATA_AXIS),
+        senders_ext=P(DATA_AXIS), receivers=P(DATA_AXIS),
+        edge_weight=P(DATA_AXIS))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), plan_spec,
+                  P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def step(state: TrainState, xb, yb, mb, plan_b: HaloPlan, rng):
+        x = xb[0]
+        y, m = yb[0], mb[0]
+
+        def loss_fn(params):
+            # model.apply, not state.apply_fn: the state may have been
+            # created for the all-gather model (param trees interchange)
+            out = model.apply(
+                params, x, plan_b.senders_ext[0], plan_b.receivers[0],
+                plan_b.edge_weight[0], plan_b.send_idx[0],
+                plan_b.send_mask[0], train=True, rngs={"dropout": rng})
+            picked = jnp.take_along_axis(
+                out, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            mf = m.astype(out.dtype)
+            local_sum = jnp.sum(-picked * mf)
+            global_cnt = jax.lax.psum(jnp.sum(mf), DATA_AXIS)
+            return local_sum / jnp.maximum(global_cnt, 1.0)
+
+        local_loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step)
+
+
 def make_dist_eval_step(mesh: Mesh, model: DistNodeModel, split: str = "test"):
     spec = ShardedGraph(
         x=P(DATA_AXIS), senders=P(DATA_AXIS), receivers=P(DATA_AXIS),
