@@ -206,6 +206,7 @@ def cmd_train(args) -> int:
         else "Gs_train_2_Gs_infer",
         epochs1=args.epochs1, epochs2=args.epochs2, lr=args.lr,
         weight_decay=args.weight_decay, gradient_method=args.gradient_method,
+        batch_size=args.batch_size,
         runs=args.runs, seed=args.seed, logdir=save_dir,
         save_path=os.path.join(save_dir, "model"))
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)

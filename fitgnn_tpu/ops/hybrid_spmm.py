@@ -50,7 +50,7 @@ class HybridSpmm:
 def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  weight: np.ndarray, num_nodes_padded: int,
                  min_block_edges: int = 150,
-                 block: int = BLOCK) -> HybridSpmm:
+                 block: int = BLOCK, tile_dtype=None) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
@@ -66,7 +66,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     if dense_edge.any():
         bsr = build_bsr(senders[dense_edge].astype(np.int64),
                         receivers[dense_edge].astype(np.int64),
-                        weight[dense_edge], num_nodes_padded, block=block)
+                        weight[dense_edge], num_nodes_padded, block=block,
+                        tile_dtype=tile_dtype)
 
     cs, cr, cw = (senders[~dense_edge], receivers[~dense_edge],
                   weight[~dense_edge])

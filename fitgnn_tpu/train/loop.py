@@ -76,6 +76,7 @@ class NodeTaskConfig:
     lr: float = 0.01
     weight_decay: float = 5e-4
     gradient_method: str = "GD"           # or "MB"
+    batch_size: int = 128                 # subgraphs per MB optimizer step
     runs: int = 1
     seed: int = 0
     logdir: Optional[str] = None          # scalar JSONL/TB per run
@@ -88,7 +89,9 @@ class NodeTaskConfig:
 def _gs_train_epoch(state, batch, rng, cfg):
     if cfg.gradient_method == "GD":
         return steps.gs_train_step_gd(state, batch, rng, cfg.task)
-    return steps.gs_train_epoch_mb(state, batch, rng, cfg.task)
+    bs = min(cfg.batch_size, batch.num_subgraphs)
+    return steps.gs_train_epoch_mb(state, batch, rng, cfg.task,
+                                   batch_size=bs)
 
 
 def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],

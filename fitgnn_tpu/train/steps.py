@@ -117,30 +117,49 @@ def gs_train_step_gd(state: TrainState, batch: SubgraphBatch, rng, task: str):
     return state.apply_gradients(grads=grads), val
 
 
-@functools.partial(jax.jit, static_argnames=("task",))
-def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str):
-    """Step-per-subgraph minibatch mode as a lax.scan over the subgraph axis.
-    Subgraphs with no train nodes leave the state untouched."""
+@functools.partial(jax.jit, static_argnames=("task", "batch_size"))
+def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str,
+                      batch_size: int = 1):
+    """Minibatch mode: one optimizer step per chunk of ``batch_size``
+    subgraphs (the reference's DataLoader batches, ``run.py:217-253``;
+    batch_size=128 there), as a lax.scan over chunks.  Chunks with no train
+    nodes leave the state untouched (the reference ``continue``s them)."""
     loss_fn = _loss_fn(task)
+    s = batch.num_subgraphs
+    n_chunks = -(-s // batch_size)
+    pad = n_chunks * batch_size - s
+
+    def pad_chunk(a):
+        if a is None:
+            return None
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out = jnp.pad(a, widths)
+        return out.reshape((n_chunks, batch_size) + a.shape[1:])
+
+    cb = jax.tree_util.tree_map(pad_chunk, batch)
+    # padding subgraphs get zeroed train masks automatically (jnp.pad)
 
     def body(st, inp):
-        g, y, m, r = inp
+        chunk, r = inp          # chunk: SubgraphBatch with leading batch_size
+        gb = _batch_graphs(chunk)
 
         def loss(params):
-            out = st.apply_fn(params, g.x, g, train=True, rngs={"dropout": r})
-            return loss_fn(out, y, m)
+            rngs = jax.random.split(r, batch_size)
+            out = jax.vmap(
+                lambda x, g, rr: st.apply_fn(params, x, g, train=True,
+                                             rngs={"dropout": rr})
+            )(chunk.x, gb, rngs)
+            return loss_fn(out, chunk.y, chunk.train_mask)
 
         val, grads = jax.value_and_grad(loss)(st.params)
-        has_train = jnp.sum(m) > 0
+        has_train = jnp.sum(chunk.train_mask) > 0
         new_st = st.apply_gradients(grads=grads)
         st = jax.tree_util.tree_map(
             lambda a, b: jnp.where(has_train, a, b), new_st, st)
         return st, jnp.where(has_train, val, 0.0)
 
-    gb = _batch_graphs(batch)
-    rngs = jax.random.split(rng, batch.num_subgraphs)
-    state, losses = jax.lax.scan(
-        body, state, (gb, batch.y, batch.train_mask, rngs))
+    rngs = jax.random.split(rng, n_chunks)
+    state, losses = jax.lax.scan(body, state, (cb, rngs))
     return state, jnp.sum(losses)
 
 

@@ -56,8 +56,9 @@ def main():
     print(f"coo            : {per*1e3:7.2f} ms -> {E/per/1e6:8.1f} M edges/s")
 
     # --- hybrid -------------------------------------------------------------
-    for thresh in (150,):
-        h = build_hybrid(senders, receivers, w, N, min_block_edges=thresh)
+    for thresh, tile_dtype in ((150, None), (150, jnp.bfloat16)):
+        h = build_hybrid(senders, receivers, w, N, min_block_edges=thresh,
+                         tile_dtype=tile_dtype)
         nb = 0 if h.bsr is None else h.bsr.nnz_blocks
         dense_edges = E - h.num_coo_edges
 
@@ -71,7 +72,8 @@ def main():
             return acc
 
         per, _ = measure(hyb_loop, x)
-        print(f"hybrid t={thresh:4d}  : {per*1e3:7.2f} ms -> "
+        tag = "bf16" if tile_dtype is not None else "f32 "
+        print(f"hybrid {tag} t={thresh:4d}: {per*1e3:7.2f} ms -> "
               f"{E/per/1e6:8.1f} M edges/s   "
               f"[{nb} tiles, {dense_edges/E*100:.0f}% edges dense, "
               f"coo rest {h.num_coo_edges/1e3:.0f}k]")
