@@ -286,6 +286,9 @@ def cmd_infer(args, baseline: bool = False) -> int:
                                             baseline_inference_benchmark)
     from fitgnn_tpu.utils import results as R
 
+    if args.task in ("graph_cls", "graph_reg"):
+        return _cmd_infer_graph(args)
+
     ds = _load_node(args)
     classify = args.task == "node_cls"
     num_classes = ds.num_classes if classify else None
@@ -332,6 +335,53 @@ def cmd_infer(args, baseline: bool = False) -> int:
     R.append_csv_row(f"inference_results/{args.task}.csv",
                      R.INFERENCE_HEADER, row)
     print(f"inference_results/{args.task}.csv <- {row}")
+    return 0
+
+
+def _cmd_infer_graph(args) -> int:
+    import jax
+    from fitgnn_tpu.data.datasets import load_graph_dataset
+    from fitgnn_tpu.data.graph_level import (prepare_graph_sample,
+                                             collate_graph_level)
+    from fitgnn_tpu.models import GraphModel
+    from fitgnn_tpu.bench.graph_inference import graph_inference_benchmark
+    from fitgnn_tpu.utils import results as R
+
+    gds = load_graph_dataset(args.dataset, args.data_root)
+    classify = args.task == "graph_cls"
+    n = min(args.num_test_samples, len(gds.graphs))
+    samples = [prepare_graph_sample(
+        x, s, r, y_, reduction=1.0 - args.coarsening_ratio,
+        method=args.coarsening_method, mode=_node_mode(args), seed=args.seed)
+        for (x, s, r), y_ in zip(gds.graphs[:n], gds.y[:n])]
+    out_dim = int(gds.y.max()) + 1 if classify else 1
+    model = GraphModel(layer_name=args.layer_name, hidden=args.hidden,
+                       num_layers=args.num_layers1, out_dim=out_dim,
+                       classify=classify)
+    b0 = collate_graph_level([samples[0]])
+    params = model.init(jax.random.PRNGKey(args.seed), b0.gc.x, b0.gc,
+                        b0.gc_graph_ids, 1)
+    if args.checkpoint:
+        from fitgnn_tpu.train.checkpoint import restore_params
+        params = restore_params(args.checkpoint, params)
+    for view in ("gs", "gc"):
+        rep = graph_inference_benchmark(model, params, samples, gds.y[:n],
+                                        view=view, classify=classify,
+                                        seed=args.seed)
+        row = R.format_row(R.INFERENCE_HEADER, {
+            "dataset": args.dataset,
+            "coarsening_method": args.coarsening_method,
+            "coarsening_ratio": args.coarsening_ratio,
+            "exp_setup": f"fitgnn_{view}", "layer_name": args.layer_name,
+            "extra_nodes": args.extra_node, "cluster_node": args.cluster_node,
+            "community_used": args.use_community_detection,
+            "hidden": args.hidden, "num_layers": args.num_layers1,
+            "num_test_samples": rep.num_test_samples,
+            "avg_inf_time": rep.avg_inf_time, "avg_loss": rep.avg_loss,
+            "acc": rep.acc})
+        R.append_csv_row(f"inference_results/{args.task}.csv",
+                         R.INFERENCE_HEADER, row)
+        print(f"inference_results/{args.task}.csv <- {row}")
     return 0
 
 
