@@ -46,10 +46,9 @@ class GCNConv(nn.Module):
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
         h = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype)(x)
-        aux = g.aux
-        if aux is not None and type(aux).__name__ == "HybridSpmm":
-            from fitgnn_tpu.ops.hybrid_spmm import hybrid_spmm
-            out = hybrid_spmm(aux, h)
+        from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
+        if isinstance(g.aux, HybridSpmm):
+            out = hybrid_spmm(g.aux, h)
         else:
             out = spmm_coo(g.edge_weight, g.senders, g.receivers, h,
                            g.num_nodes_padded)

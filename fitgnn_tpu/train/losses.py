@@ -45,6 +45,26 @@ def masked_l1_std_normalized(pred, target, mask):
     return l1 / jnp.maximum(jnp.sqrt(var), 1e-12)
 
 
+def masked_nll_sum(log_probs, labels, mask):
+    """(Σ masked NLL, masked count) — for accumulating across buckets."""
+    picked = jnp.take_along_axis(
+        log_probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    m = mask.astype(log_probs.dtype)
+    return jnp.sum(-picked * m), jnp.sum(m)
+
+
+def masked_l1_sum(pred, target, mask):
+    pred = pred.reshape(target.shape)
+    m = mask.astype(pred.dtype)
+    return jnp.sum(jnp.abs(pred - target) * m), jnp.sum(m)
+
+
+def masked_correct_sum(log_probs, labels, mask):
+    pred = jnp.argmax(log_probs, axis=-1)
+    m = mask.astype(jnp.float32)
+    return jnp.sum((pred == labels).astype(jnp.float32) * m), jnp.sum(m)
+
+
 def masked_accuracy(log_probs: jnp.ndarray, labels: jnp.ndarray,
                     mask: jnp.ndarray) -> jnp.ndarray:
     pred = jnp.argmax(log_probs, axis=-1)

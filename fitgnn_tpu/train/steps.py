@@ -163,6 +163,56 @@ def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str,
     return state, jnp.sum(losses)
 
 
+@functools.partial(jax.jit, static_argnames=("task",))
+def gs_train_step_gd_multi(state: TrainState, batches, rng, task: str):
+    """GD step over size-bucketed batches (tuple of SubgraphBatch): one
+    update from the masked mean across every bucket's train nodes —
+    numerically identical to a single-bucket gs_train_step_gd."""
+    from fitgnn_tpu.train.losses import masked_l1_sum, masked_nll_sum
+
+    def loss(params):
+        total = 0.0
+        count = 0.0
+        for i, b in enumerate(batches):
+            out = _vmapped_out(state.apply_fn, params, b, True,
+                               jax.random.fold_in(rng, i))
+            if task == "classification":
+                s, c = masked_nll_sum(out, b.y, b.train_mask)
+            else:
+                s, c = masked_l1_sum(out, b.y, b.train_mask)
+            total = total + s
+            count = count + c
+        return total / jnp.maximum(count, 1.0)
+
+    val, grads = jax.value_and_grad(loss)(state.params)
+    return state.apply_gradients(grads=grads), val
+
+
+@functools.partial(jax.jit, static_argnames=("task", "split"))
+def gs_eval_step_multi(state: TrainState, batches, task: str,
+                       split: str = "val"):
+    """Masked loss + metric over all buckets' consuming split nodes."""
+    from fitgnn_tpu.train.losses import (masked_correct_sum, masked_l1_sum,
+                                         masked_nll_sum)
+    loss_s = 0.0
+    metric_s = 0.0
+    count = 0.0
+    for b in batches:
+        mask = b.val_mask if split == "val" else b.test_mask
+        out = _vmapped_out(state.apply_fn, state.params, b, False, None)
+        if task == "classification":
+            s, c = masked_nll_sum(out, b.y, mask)
+            corr, _ = masked_correct_sum(out, b.y, mask)
+        else:
+            s, c = masked_l1_sum(out, b.y, mask)
+            corr = s
+        loss_s += s
+        metric_s += corr
+        count += c
+    count = jnp.maximum(count, 1.0)
+    return loss_s / count, metric_s / count
+
+
 @functools.partial(jax.jit, static_argnames=("task", "split"))
 def gs_eval_step(state: TrainState, batch: SubgraphBatch, task: str,
                  split: str = "val"):
