@@ -47,6 +47,10 @@ def make_graph():
     senders = np.where(rng.random(e) < INTERNAL, s_in, s_out)
     keep = senders != receivers
     senders, receivers = senders[keep], receivers[keep]
+    # shuffle node ids: real graphs arrive without community-contiguous
+    # ordering — recovering it is the ingest pipeline's job
+    perm = rng.permutation(NUM_NODES)
+    senders, receivers = perm[senders], perm[receivers]
     x = rng.standard_normal((NUM_NODES, NUM_FEATURES)).astype(np.float32)
     y = rng.integers(0, NUM_CLASSES, NUM_NODES).astype(np.int32)
     train = rng.random(NUM_NODES) < 0.5
@@ -58,17 +62,16 @@ def main():
     from fitgnn_tpu.graph import build_graph
     from fitgnn_tpu.models import NodeModel
     from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
-    from fitgnn_tpu.partition.community import (leiden_communities,
-                                                community_order)
+    from fitgnn_tpu.partition.community import hierarchical_community_order
     from fitgnn_tpu.train.steps import create_state, gc_train_step
 
     x, senders, receivers, y, train = make_graph()
 
-    # production ingest: Leiden -> community-contiguous node order
+    # production ingest: two-level Leiden -> tile-dense contiguous node order
     t0 = time.perf_counter()
-    labels = leiden_communities(senders, receivers, NUM_NODES, seed=0)
-    order = community_order(labels)
-    print(f"leiden: {labels.max()+1} communities in "
+    order = hierarchical_community_order(senders, receivers, NUM_NODES,
+                                         seed=0)
+    print(f"hierarchical leiden order in "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
     inv = np.empty(NUM_NODES, dtype=np.int64)
     inv[order] = np.arange(NUM_NODES)

@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--weight_decay", type=float, default=5e-4)
     t.add_argument("--gradient_method", type=str, default="GD",
                    choices=["GD", "MB"])
+    t.add_argument("--loss_reduction", type=str, default="mean",
+                   choices=["mean", "sum"])
     t.add_argument("--normalize_features", action="store_true")
     t.add_argument("--multi_prop", action="store_true")
     t.add_argument("--property", type=int, default=0)
@@ -123,10 +125,19 @@ def _node_mode(args) -> str:
 COMMUNITY_NODE_CAP = 165_000   # reference main.py:264
 
 
+AUTO_COMMUNITY_NODES = 170_000   # reference inference.py:264
+
+
 def _load_node(args):
     from fitgnn_tpu.data.datasets import load_node_dataset
     ds = load_node_dataset(args.dataset, args.data_root)
-    if getattr(args, "use_community_detection", False):
+    use_comm = getattr(args, "use_community_detection", False)
+    if not use_comm and ds.num_nodes > AUTO_COMMUNITY_NODES:
+        print(f"auto-enabling community detection "
+              f"({ds.num_nodes} > {AUTO_COMMUNITY_NODES} nodes)",
+              file=sys.stderr)
+        use_comm = True
+    if use_comm:
         ds = apply_community_proxy(ds, COMMUNITY_NODE_CAP, seed=args.seed)
     return ds
 
@@ -206,7 +217,7 @@ def cmd_train(args) -> int:
         else "Gs_train_2_Gs_infer",
         epochs1=args.epochs1, epochs2=args.epochs2, lr=args.lr,
         weight_decay=args.weight_decay, gradient_method=args.gradient_method,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, loss_reduction=args.loss_reduction,
         runs=args.runs, seed=args.seed, logdir=save_dir,
         save_path=os.path.join(save_dir, "model"))
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)

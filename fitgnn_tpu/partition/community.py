@@ -127,3 +127,42 @@ def community_order(labels: np.ndarray) -> np.ndarray:
                                                         kind="stable")])}
     key = np.array([rank[c] for c in labels], dtype=np.int64)
     return np.argsort(key, kind="stable")
+
+
+def hierarchical_community_order(senders: np.ndarray, receivers: np.ndarray,
+                                 num_nodes: int, seed: int = 0,
+                                 sub_resolution: float = 100.0,
+                                 sub_threshold: int = 512) -> np.ndarray:
+    """Two-level ordering for dense BCSR tiles: outer Leiden (modularity)
+    groups communities; each community larger than ``sub_threshold`` is
+    re-clustered at high resolution so nodes that share many edges land in
+    the same 128-aligned tile rows.  Returns the node permutation."""
+    labels = leiden_communities(senders, receivers, num_nodes, seed=seed)
+    order = community_order(labels)
+    inv = np.empty(num_nodes, dtype=np.int64)
+    inv[order] = np.arange(num_nodes)
+    s2, r2 = inv[senders], inv[receivers]
+    lab2 = labels[order]
+
+    # refine large communities in contiguous slices (edges pre-grouped by
+    # receiver community via one sort)
+    final = order.copy()
+    comms, starts = np.unique(lab2, return_index=True)
+    bounds = np.sort(np.append(starts, num_nodes))
+    eorder = np.argsort(r2, kind="stable")
+    r2s, s2s = r2[eorder], s2[eorder]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        size = b1 - b0
+        if size <= sub_threshold:
+            continue
+        lo, hi = np.searchsorted(r2s, [b0, b1])
+        seg_s, seg_r = s2s[lo:hi], r2s[lo:hi]
+        keep = (seg_s >= b0) & (seg_s < b1)
+        if not keep.any():
+            continue
+        sub_lab = leiden_communities(seg_s[keep] - b0, seg_r[keep] - b0,
+                                     size, resolution=sub_resolution,
+                                     seed=seed)
+        sub_ord = community_order(sub_lab)
+        final[b0:b1] = final[b0:b1][sub_ord]
+    return final

@@ -76,6 +76,7 @@ class NodeTaskConfig:
     lr: float = 0.01
     weight_decay: float = 5e-4
     gradient_method: str = "GD"           # or "MB"
+    loss_reduction: str = "mean"          # or "sum" (reference flag)
     batch_size: int = 128                 # subgraphs per MB optimizer step
     runs: int = 1
     seed: int = 0
@@ -88,7 +89,8 @@ class NodeTaskConfig:
 
 def _gs_train_epoch(state, batch, rng, cfg):
     if cfg.gradient_method == "GD":
-        return steps.gs_train_step_gd(state, batch, rng, cfg.task)
+        return steps.gs_train_step_gd(state, batch, rng, cfg.task,
+                                      reduction=cfg.loss_reduction)
     bs = min(cfg.batch_size, batch.num_subgraphs)
     return steps.gs_train_epoch_mb(state, batch, rng, cfg.task,
                                    batch_size=bs)
@@ -129,7 +131,7 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                 rng, step_rng = jax.random.split(rng)
                 state, train_loss = steps.gc_train_step(
                     state, coarse.graph, coarse.y_train, coarse.train_mask,
-                    step_rng, cfg.task)
+                    step_rng, cfg.task, reduction=cfg.loss_reduction)
                 val_loss, _ = steps.gc_eval_step(
                     state, coarse.graph, coarse.y_val, coarse.val_mask,
                     cfg.task)

@@ -14,23 +14,28 @@ import jax.numpy as jnp
 
 
 def masked_nll(log_probs: jnp.ndarray, labels: jnp.ndarray,
-               mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean negative log-likelihood over masked rows.
+               mask: jnp.ndarray, reduction: str = "mean") -> jnp.ndarray:
+    """Negative log-likelihood over masked rows ('mean' or 'sum' — the
+    reference's ``--loss_reduction``).
     ``log_probs``: (..., C); ``labels``: (...,) int; ``mask``: (...,) bool."""
     picked = jnp.take_along_axis(
         log_probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     m = mask.astype(log_probs.dtype)
     total = jnp.sum(-picked * m)
+    if reduction == "sum":
+        return total
     count = jnp.maximum(jnp.sum(m), 1.0)
     return total / count
 
 
 def masked_l1(pred: jnp.ndarray, target: jnp.ndarray,
-              mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean absolute error over masked rows (pred squeezed to target shape)."""
+              mask: jnp.ndarray, reduction: str = "mean") -> jnp.ndarray:
+    """Absolute error over masked rows (pred squeezed to target shape)."""
     pred = pred.reshape(target.shape)
     m = mask.astype(pred.dtype)
     total = jnp.sum(jnp.abs(pred - target) * m)
+    if reduction == "sum":
+        return total
     count = jnp.maximum(jnp.sum(m), 1.0)
     return total / count
 

@@ -51,21 +51,22 @@ def create_state(model, rng, example_x, example_graph, lr=0.01,
                              tx=adam_l2(lr, weight_decay))
 
 
-def _loss_fn(task: str):
-    return masked_nll if task == "classification" else masked_l1
+def _loss_fn(task: str, reduction: str = "mean"):
+    base = masked_nll if task == "classification" else masked_l1
+    return functools.partial(base, reduction=reduction)
 
 
 # ---------------------------------------------------------------------------
 # Gc (coarse graph) full-batch steps
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("task",))
-def gc_train_step(state: TrainState, g: Graph, y, mask, rng, task: str
-                  ) -> tuple[TrainState, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("task", "reduction"))
+def gc_train_step(state: TrainState, g: Graph, y, mask, rng, task: str,
+                  reduction: str = "mean") -> tuple[TrainState, jnp.ndarray]:
     def loss(params):
         out = state.apply_fn(params, g.x, g, train=True,
                              rngs={"dropout": rng})
-        return _loss_fn(task)(out, y, mask)
+        return _loss_fn(task, reduction)(out, y, mask)
 
     val, grads = jax.value_and_grad(loss)(state.params)
     return state.apply_gradients(grads=grads), val
@@ -103,15 +104,16 @@ def _vmapped_out(apply_fn, params, batch: SubgraphBatch, train, rng):
     return jax.vmap(lambda x, g: apply_fn(params, x, g))(batch.x, gb)
 
 
-@functools.partial(jax.jit, static_argnames=("task",))
-def gs_train_step_gd(state: TrainState, batch: SubgraphBatch, rng, task: str):
+@functools.partial(jax.jit, static_argnames=("task", "reduction"))
+def gs_train_step_gd(state: TrainState, batch: SubgraphBatch, rng, task: str,
+                     reduction: str = "mean"):
     """Accumulate-all-then-step: one update from the global masked loss."""
     y = batch.y
     mask = batch.train_mask  # already consume-filtered at build time
 
     def loss(params):
         out = _vmapped_out(state.apply_fn, params, batch, True, rng)
-        return _loss_fn(task)(out, y, mask)
+        return _loss_fn(task, reduction)(out, y, mask)
 
     val, grads = jax.value_and_grad(loss)(state.params)
     return state.apply_gradients(grads=grads), val

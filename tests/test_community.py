@@ -7,7 +7,7 @@ import pytest
 from fitgnn_tpu.data.synthetic import sbm_graph
 from fitgnn_tpu.partition.community import (
     leiden_communities, partition_modularity, merge_communities,
-    community_order,
+    community_order, hierarchical_community_order,
 )
 
 
@@ -74,6 +74,36 @@ class TestCommunityUtils:
         keep = merge_communities(labels, cap=4)
         # 3 fits; +2 would exceed 4 -> skipped; +1 fits
         np.testing.assert_array_equal(keep, [0, 1, 2, 5])
+
+    def test_hierarchical_order_improves_tile_density(self):
+        # planted 64-node blocks, shuffled ids: hierarchical ordering must
+        # recover far more dense 128-tiles than the identity order
+        n, deg, blk = 4096, 10, 64
+        rng = np.random.default_rng(0)
+        e = n * deg
+        r = rng.integers(0, n, e)
+        c = r // blk
+        s = np.where(rng.random(e) < 0.9,
+                     c * blk + rng.integers(0, blk, e),
+                     rng.integers(0, n, e))
+        keep = s != r
+        s, r = s[keep], r[keep]
+        perm = rng.permutation(n)
+        s, r = perm[s], perm[r]
+
+        def dense_frac(order, thresh=64):
+            inv = np.empty(n, dtype=np.int64)
+            inv[order] = np.arange(n)
+            s2, r2 = inv[s], inv[r]
+            nb = n // 128
+            tile = (r2 // 128) * nb + (s2 // 128)
+            _, invt, cnt = np.unique(tile, return_inverse=True,
+                                     return_counts=True)
+            return (cnt[invt] >= thresh).mean()
+
+        base = dense_frac(np.arange(n))
+        ordered = dense_frac(hierarchical_community_order(s, r, n, seed=0))
+        assert ordered > base + 0.3, (base, ordered)
 
     def test_community_order_contiguous(self):
         labels = np.array([2, 0, 2, 1, 0, 2])
