@@ -26,6 +26,7 @@ import numpy as np
 
 REF_EDGES_PER_SEC = 5.0e7
 BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "float32")
+BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "150"))
 
 NUM_NODES = 169_344          # 1323 x 128 — ogbn-arxiv scale
 COMM = 128
@@ -84,7 +85,7 @@ def main():
     hyb = build_hybrid(np.asarray(g.senders, dtype=np.int64),
                        np.asarray(g.receivers, dtype=np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
-                       min_block_edges=150)
+                       min_block_edges=BENCH_TILE_THRESHOLD)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)

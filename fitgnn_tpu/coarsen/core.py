@@ -81,6 +81,17 @@ def coarsen(W: sp.spmatrix, r: float = 0.5,
             A = B
             if method == "variation_edges":
                 sets = contract_variation_edges(cur, A, r_cur, algorithm)
+            elif method == "variation_neighborhoods" and n > 3000:
+                # C++ hot-loop core for large graphs (same algorithm;
+                # Python path is the oracle below this size)
+                from fitgnn_tpu.coarsen.native_variation import (
+                    variation_neighborhoods_native)
+                parent_native = variation_neighborhoods_native(cur, A, r_cur)
+                if parent_native is not None:
+                    sets = _parent_to_sets(parent_native)
+                else:
+                    sets = contract_variation_linear(cur, A, r_cur,
+                                                     mode="neighborhoods")
             else:
                 mode = method.split("_", 1)[1]  # neighborhoods | cliques
                 sets = contract_variation_linear(cur, A, r_cur, mode=mode)
@@ -108,6 +119,13 @@ def coarsen(W: sp.spmatrix, r: float = 0.5,
             break
 
     return _result(N, parents, cur)
+
+
+def _parent_to_sets(parent: np.ndarray) -> List[np.ndarray]:
+    """Non-singleton groups of a parent map as contraction sets."""
+    order = np.argsort(parent, kind="stable")
+    bounds = np.searchsorted(parent[order], np.arange(parent.max() + 2))
+    return [order[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b - a > 1]
 
 
 def _result(N: int, parents: List[np.ndarray], g_final: LapGraph
