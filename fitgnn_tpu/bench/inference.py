@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-import sys
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

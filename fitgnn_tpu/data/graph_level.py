@@ -18,7 +18,7 @@ so each training epoch is a single jitted step on static shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 import scipy.sparse as sp
@@ -27,7 +27,7 @@ import flax.struct
 
 from fitgnn_tpu.coarsen import coarsen, coarsen_features, connected_components
 from fitgnn_tpu.graph.build import (
-    gcn_normalize, _round_up, sort_by_receiver, to_undirected, add_self_loops,
+    gcn_normalize, _round_up, sort_by_receiver, add_self_loops,
 )
 from fitgnn_tpu.graph.container import Graph, SubgraphBatch
 from fitgnn_tpu.partition.subgraphs import (

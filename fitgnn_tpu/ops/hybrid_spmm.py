@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import flax.struct
 
 from fitgnn_tpu.ops.pallas.bsr_spmm import BsrMatrix, build_bsr, bsr_spmm, BLOCK
-from fitgnn_tpu.ops.ell_spmm import EllMatrix, build_ell, ell_spmm
 from fitgnn_tpu.ops.spmm import spmm_coo
 
 

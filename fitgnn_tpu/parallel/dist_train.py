@@ -10,8 +10,6 @@ reference lacks entirely (SURVEY §2.4: no DP/TP/collectives anywhere).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from fitgnn_tpu.coarsen import (
     coarsen, connected_components, coarsen_features,
-    coarse_labels_and_masks, coarsening_matrix, coarsen_weights,
+    coarse_labels_and_masks, coarsening_matrix,
 )
 from fitgnn_tpu.graph.build import build_graph
 from fitgnn_tpu.graph.container import Graph, SubgraphBatch

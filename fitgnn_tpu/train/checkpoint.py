@@ -8,9 +8,8 @@ exactly (SURVEY §5 checkpoint/resume gap)."""
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 from fitgnn_tpu.train.steps import TrainState

@@ -20,8 +20,6 @@ TPU-first re-design of the reference's per-epoch loops (``run.py:26-253``):
 from __future__ import annotations
 
 import functools
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax
