@@ -9,6 +9,9 @@ from fitgnn_tpu.parallel.dist_train import (
     make_halo_train_step,
 )
 from fitgnn_tpu.parallel.halo import HaloPlan, build_halo_plan, halo_exchange
+from fitgnn_tpu.parallel.dist_subgraphs import (
+    pad_batch_to_shards, make_dist_gs_train_step, make_dist_gs_eval_step,
+)
 
 __all__ = [
     "make_mesh", "DATA_AXIS", "ShardedGraph", "shard_graph",
@@ -16,4 +19,5 @@ __all__ = [
     "DistGCNConvHalo", "DistNodeModelHalo",
     "create_dist_state", "make_dist_train_step", "make_dist_eval_step",
     "make_halo_train_step", "HaloPlan", "build_halo_plan", "halo_exchange",
+    "pad_batch_to_shards", "make_dist_gs_train_step", "make_dist_gs_eval_step",
 ]
