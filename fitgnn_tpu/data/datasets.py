@@ -365,6 +365,43 @@ def load_node_dataset(name: str, root: str = "./dataset") -> NodeDataset:
     raise _missing(name, root, f"{key}.npz standardized cache")
 
 
+def load_zinc_pickle(root: str, name: str = "ZINC",
+                     subset: bool = True) -> GraphDataset:
+    """ZINC molecules in the benchmarking-gnns pickle layout
+    (``{train,val,test}.pickle`` of dicts with torch tensors: atom_type,
+    bond_type/edge_list, logP_SA_cycle_normalized)."""
+    raw = os.path.join(root, name, "raw")
+    parts = ["train", "val", "test"]
+    paths = [os.path.join(raw, f"{p}.pickle") for p in parts]
+    if not all(os.path.exists(p) for p in paths):
+        raise _missing(name, raw, "benchmarking-gnns {train,val,test}.pickle")
+    import torch  # cpu build is available in this image
+
+    graphs, ys = [], []
+    for p in paths:
+        with open(p, "rb") as f:
+            mols = pickle.load(f)
+        if subset and len(mols) > 4000:
+            mols = mols[:4000]
+        for mol in mols:
+            atom = np.asarray(mol["atom_type"], dtype=np.int64).reshape(-1)
+            n = len(atom)
+            x = np.eye(28, dtype=np.float32)[np.clip(atom, 0, 27)]
+            bond = np.asarray(mol["bond_type"])
+            if bond.ndim == 2 and bond.shape == (n, n):
+                s, r = np.nonzero(bond)
+            else:
+                e = np.asarray(mol.get("edge_list", bond),
+                               dtype=np.int64).reshape(-1, 2)
+                s, r = e[:, 0], e[:, 1]
+            graphs.append((x, s.astype(np.int32), r.astype(np.int32)))
+            ys.append(float(np.asarray(
+                mol["logP_SA_cycle_normalized"]).reshape(-1)[0]))
+    del torch
+    return GraphDataset(name=name, graphs=graphs,
+                        y=np.asarray(ys, dtype=np.float32))
+
+
 def load_graph_dataset(name: str, root: str = "./dataset") -> GraphDataset:
     cache = os.path.join(root, name, f"{name}_graphs.npz")
     if os.path.exists(cache):
@@ -373,4 +410,6 @@ def load_graph_dataset(name: str, root: str = "./dataset") -> GraphDataset:
             return GraphDataset(name=name, graphs=graphs, y=z["y"])
     if name in GRAPH_CLS:
         return load_tu_dataset(root, name)
+    if name.startswith("ZINC"):
+        return load_zinc_pickle(root, "ZINC", subset="subset" in name)
     raise _missing(name, root, f"{name}_graphs.npz cache or TU raw files")
