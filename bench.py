@@ -92,9 +92,16 @@ def main():
     g = g._replace(aux=hyb)
 
     import jax.numpy as jnp
+    from fitgnn_tpu.models.models import preaggregate_features
     dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
     model = NodeModel(layer_name="GCNConv", hidden=HIDDEN, num_layers=2,
-                      out_dim=NUM_CLASSES, dtype=dtype)
+                      out_dim=NUM_CLASSES, dtype=dtype,
+                      first_layer_preaggregated=True)
+    # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact — input
+    # features are constant, Â(X·W) = (Â·X)·W)
+    x_pre = preaggregate_features(g)
+    x_pre.block_until_ready()
+    g = g._replace(x=x_pre)
     state = create_state(model, jax.random.PRNGKey(0), g.x, g)
     yv, mv = g.y, g.train_mask
     key = jax.random.PRNGKey(1)

@@ -126,10 +126,12 @@ LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
 
 
 def make_layer(layer_name: str, features: int,
-               dtype: Optional[jnp.dtype] = None) -> nn.Module:
+               dtype: Optional[jnp.dtype] = None,
+               name: Optional[str] = None) -> nn.Module:
     if layer_name not in LAYER_REGISTRY:
         raise ValueError(
             f"unknown layer {layer_name!r}; choose from {sorted(LAYER_REGISTRY)}")
+    kwargs = {} if name is None else {"name": name}
     if layer_name == "GCNConv" and dtype is not None:
-        return GCNConv(features=features, dtype=dtype)
-    return LAYER_REGISTRY[layer_name](features=features)
+        return GCNConv(features=features, dtype=dtype, **kwargs)
+    return LAYER_REGISTRY[layer_name](features=features, **kwargs)

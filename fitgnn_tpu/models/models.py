@@ -30,21 +30,52 @@ from fitgnn_tpu.ops.segment import segment_max, segment_mean
 
 
 class ConvStack(nn.Module):
-    """num_layers convs, each followed by ELU + dropout(0.5) (network.py:29-33)."""
+    """num_layers convs, each followed by ELU + dropout(0.5) (network.py:29-33).
+
+    ``first_layer_preaggregated``: the caller passes x̃ = Â·X (precomputed at
+    ingest — input features are constant, so Â(X·W) = (Â·X)·W exactly) and
+    layer 0 becomes a pure matmul: its SpMM disappears from every training
+    step, forward AND backward (X carries no gradient).  GCN only.
+    """
 
     layer_name: str
     hidden: int
     num_layers: int
     dropout_rate: float = 0.5
     dtype: Optional[jnp.dtype] = None   # compute dtype (e.g. bf16)
+    first_layer_preaggregated: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         for i in range(self.num_layers):
-            x = make_layer(self.layer_name, self.hidden, self.dtype)(x, g)
+            if i == 0 and self.first_layer_preaggregated:
+                assert self.layer_name == "GCNConv", \
+                    "pre-aggregation is exact for GCN only"
+                # param tree mirrors a regular GCNConv_0 exactly, so weights
+                # transfer between the two variants as a pytree copy
+                x = _PreAggGCN(self.hidden, dtype=self.dtype,
+                               name="GCNConv_0")(x)
+            else:
+                x = make_layer(self.layer_name, self.hidden, self.dtype,
+                               name=f"{self.layer_name}_{i}")(x, g)
             x = nn.elu(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
+
+
+class _PreAggGCN(nn.Module):
+    """Layer 0 of a pre-aggregated GCN stack: the input is already Â·X, so
+    only the dense transform + bias remain."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.features, use_bias=False, name="lin",
+                     dtype=self.dtype)(x)
+        return h + self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32).astype(h.dtype)
 
 
 class NodeModel(nn.Module):
@@ -55,15 +86,29 @@ class NodeModel(nn.Module):
     classify: bool = True
     dtype: Optional[jnp.dtype] = None   # conv-stack compute dtype; the head
                                         # and softmax stay float32
+    first_layer_preaggregated: bool = False  # pass x̃ = Â·X (see ConvStack)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         x = ConvStack(self.layer_name, self.hidden, self.num_layers,
-                      dtype=self.dtype, name="convs")(x, g, train=train)
+                      dtype=self.dtype,
+                      first_layer_preaggregated=self.first_layer_preaggregated,
+                      name="convs")(x, g, train=train)
         x = nn.Dense(self.out_dim, name="head")(x.astype(jnp.float32))
         if self.classify:
             return nn.log_softmax(x, axis=-1)
         return x
+
+
+def preaggregate_features(g: Graph) -> jnp.ndarray:
+    """x̃ = Â·X, computed once at ingest for first_layer_preaggregated
+    models (uses the graph's hybrid operator when present)."""
+    from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
+    from fitgnn_tpu.ops.spmm import spmm_coo
+    if isinstance(g.aux, HybridSpmm):
+        return hybrid_spmm(g.aux, g.x)
+    return spmm_coo(g.edge_weight, g.senders, g.receivers, g.x,
+                    g.num_nodes_padded)
 
 
 class GraphModel(nn.Module):
