@@ -196,6 +196,8 @@ def cmd_train(args) -> int:
 
     if args.task in ("graph_cls", "graph_reg"):
         return _cmd_train_graph(args)
+    if args.baseline:
+        return _cmd_train_baseline(args)
 
     ds = _load_node(args)
     if args.normalize_features:
@@ -243,6 +245,88 @@ def cmd_train(args) -> int:
         "best_loss": s["best_loss"]})
     R.append_csv_row(f"results/{args.dataset}.csv", header, row)
     print(f"results/{args.dataset}.csv <- {row}")
+    return 0
+
+
+def _cmd_train_baseline(args) -> int:
+    """Full-graph baseline training (reference ``node_classification_baseline``
+    ``run.py:832-904``): per-run model, full-batch epochs with best-val
+    checkpointing, timed test forward.  Unlike the reference — which creates
+    the model/optimizer once outside the runs loop so later runs continue
+    from earlier state (SURVEY §7.4 quirk) — every run here starts fresh."""
+    import time
+    import jax
+    from fitgnn_tpu.graph import build_graph
+    from fitgnn_tpu.models import NodeModel
+    from fitgnn_tpu.train import steps
+    from fitgnn_tpu.train.losses import masked_accuracy
+    from fitgnn_tpu.utils import results as R
+    import numpy as _np
+
+    ds = _load_node(args)
+    classify = args.task == "node_cls"
+    num_classes = ds.num_classes if classify else None
+    train, val, test = _splits(args, ds, num_classes)
+    if args.normalize_features:
+        norms = np.abs(ds.x).sum(axis=1, keepdims=True)
+        ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
+    g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,
+                    train_mask=train, val_mask=val, test_mask=test)
+    task = "classification" if classify else "regression"
+    model = NodeModel(layer_name=args.layer_name, hidden=args.hidden,
+                      num_layers=args.num_layers1,
+                      out_dim=num_classes if classify else 1,
+                      classify=classify)
+
+    all_acc, all_loss, all_time = [], [], []
+    for run in range(args.runs):
+        rng = jax.random.PRNGKey(args.seed + run)
+        rng, init_rng = jax.random.split(rng)
+        state = steps.create_state(model, init_rng, g.x, g, lr=args.lr,
+                                   weight_decay=args.weight_decay)
+        best_val, best_params = _np.inf, state.params
+        for epoch in range(args.epochs1):
+            rng, step_rng = jax.random.split(rng)
+            state, _ = steps.gc_train_step(
+                state, g, g.y, g.train_mask, step_rng, task,
+                reduction=args.loss_reduction)
+            val_loss, _ = steps.gc_eval_step(state, g, g.y, g.val_mask, task)
+            if float(val_loss) < best_val or epoch == 0:
+                best_val = float(val_loss)
+                best_params = state.params
+        state = state.replace(params=best_params)
+        steps.gc_eval_step(state, g, g.y, g.test_mask, task)  # warm-up
+        t0 = time.perf_counter()
+        test_loss, test_acc = steps.gc_eval_step(state, g, g.y, g.test_mask,
+                                                 task)
+        test_loss, test_acc = float(test_loss), float(test_acc)
+        all_time.append(time.perf_counter() - t0)
+        all_acc.append(test_acc)
+        all_loss.append(test_loss)
+        print(f"baseline run {run}: test_loss={test_loss:.4f} "
+              f"metric={test_acc:.4f}")
+
+    acc, loss = _np.asarray(all_acc), _np.asarray(all_loss)
+    top_acc = _np.sort(acc)[::-1][:10]
+    top_loss = _np.sort(loss)[:10]
+    header = R.TRAIN_NODE_CLS_HEADER if classify else R.TRAIN_NODE_REG_HEADER
+    row = R.format_row(header, {
+        "dataset": args.dataset, "coarsening_method": "none",
+        "coarsening_ratio": "", "experiment": getattr(args, "experiment", ""),
+        "exp_setup": "baseline", "layer_name": args.layer_name,
+        "extra_nodes": False, "cluster_node": False,
+        "community_used": args.use_community_detection,
+        "hidden": args.hidden, "runs": args.runs,
+        "num_layers": args.num_layers1, "batch_size": args.batch_size,
+        "lr": args.lr,
+        "ave_acc": f"{acc.mean()} +/- {acc.std()}",
+        "ave_time": float(_np.mean(all_time)),
+        "top_10_acc": f"{top_acc.mean()} +/- {top_acc.std()}",
+        "best_acc": float(top_acc[0]),
+        "top_10_loss": f"{top_loss.mean()} +/- {top_loss.std()}",
+        "best_loss": float(top_loss[0])})
+    R.append_csv_row(f"results/baseline/{args.dataset}.csv", header, row)
+    print(f"results/baseline/{args.dataset}.csv <- {row}")
     return 0
 
 

@@ -74,6 +74,14 @@ class TestCommands:
         assert content.startswith("dataset,coarsening_method")
         assert "toy,variation_neighborhoods" in content
 
+    def test_train_baseline(self, tmp_path, toy_root):
+        rc = run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                     "--experiment", "random", "--runs", "1",
+                     "--hidden", "16", "--epochs1", "5", "--baseline")
+        assert rc == 0
+        content = (tmp_path / "results" / "baseline" / "toy.csv").read_text()
+        assert "baseline" in content
+
     def test_infer(self, tmp_path, toy_root):
         rc = run_cli(tmp_path, toy_root, "infer", "--dataset", "toy",
                      "--hidden", "16", "--num_test_samples", "5",
