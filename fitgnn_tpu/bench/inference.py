@@ -30,7 +30,11 @@ class InferenceReport:
 def _sample_nodes(mask: np.ndarray, num_samples: int, seed: int) -> np.ndarray:
     idx = np.where(mask)[0]
     rng = np.random.default_rng(seed)
-    if num_samples >= len(idx):
+    if num_samples > len(idx):
+        # over-sampling: distribute extra samples across the available nodes
+        # (reference inference.py:588-632)
+        return rng.choice(idx, size=num_samples, replace=True)
+    if num_samples == len(idx):
         return idx
     return rng.choice(idx, size=num_samples, replace=False)
 
