@@ -37,20 +37,35 @@ def matching_greedy(num_nodes: int, edges: np.ndarray, weights: np.ndarray,
 
 def matching_optimal(num_nodes: int, edges: np.ndarray, costs: np.ndarray,
                      r: float) -> List[np.ndarray]:
-    """Min-cost matching via blossom; keeps the r·N cheapest matched pairs."""
-    import networkx as nx
+    """Min-cost matching via blossom; keeps the r·N cheapest matched pairs.
+    Prefers the first-party C++ core (native/blossom.cpp); falls back to
+    networkx's pure-Python blossom for oversized instances."""
     costs = np.asarray(costs, dtype=np.float64)
-    # max_weight_matching maximizes; use (max-cost) as weight so it minimizes
     shift = costs.max() if costs.size else 0.0
-    gx = nx.Graph()
-    gx.add_nodes_from(range(num_nodes))
+    weights = shift - costs + 1.0   # maximize (positive) == minimize cost
+
+    from fitgnn_tpu.coarsen.native_blossom import max_weight_matching_native
+    mate = max_weight_matching_native(edges, weights, num_nodes,
+                                      max_cardinality=True)
+    cost_of = {}
     for (a, b), c in zip(edges.T, costs):
-        gx.add_edge(int(a), int(b), weight=float(shift - c), cost=float(c))
-    mate = nx.max_weight_matching(gx, maxcardinality=True)
-    pairs = sorted(
-        (gx.edges[a, b]["cost"], (a, b)) for a, b in mate)
+        key = (min(int(a), int(b)), max(int(a), int(b)))
+        cost_of[key] = min(cost_of.get(key, np.inf), float(c))
+
+    if mate is not None:
+        pairs = sorted(
+            (cost_of[(u, int(v))], (u, int(v)))
+            for u, v in enumerate(mate) if v > u)
+    else:  # fallback: networkx blossom
+        import networkx as nx
+        gx = nx.Graph()
+        gx.add_nodes_from(range(num_nodes))
+        for (a, b), wgt in zip(edges.T, weights):
+            gx.add_edge(int(a), int(b), weight=float(wgt))
+        nx_mate = nx.max_weight_matching(gx, maxcardinality=True)
+        pairs = sorted(
+            (cost_of[(min(a, b), max(a, b))], (min(a, b), max(a, b)))
+            for a, b in nx_mate)
+
     target = int(np.ceil(r * num_nodes))
-    out = []
-    for _, (a, b) in pairs[:target]:
-        out.append(np.array(sorted((a, b)), dtype=np.int64))
-    return out
+    return [np.array(p, dtype=np.int64) for _, p in pairs[:target]]
