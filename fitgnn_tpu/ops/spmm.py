@@ -32,9 +32,20 @@ def spmm_coo(edge_weight: jnp.ndarray, senders: jnp.ndarray,
                        indices_are_sorted=indices_are_sorted)
 
 
-def spmm(edge_weight, senders, receivers, x, num_nodes, *, bsr=None):
-    """Dispatch: BCSR Pallas path if a block-sparse structure is given."""
-    if bsr is not None:
-        from fitgnn_tpu.ops.pallas.bsr_spmm import bsr_spmm
-        return bsr_spmm(bsr, x)
+def spmm(edge_weight, senders, receivers, x, num_nodes, *, operator=None):
+    """Dispatch on a precomputed operator structure: ``HybridSpmm`` (BCSR
+    tiles + straggler COO), ``BsrMatrix``, or ``EllMatrix``; plain COO
+    otherwise."""
+    if operator is not None:
+        name = type(operator).__name__
+        if name == "HybridSpmm":
+            from fitgnn_tpu.ops.hybrid_spmm import hybrid_spmm
+            return hybrid_spmm(operator, x)
+        if name == "BsrMatrix":
+            from fitgnn_tpu.ops.pallas.bsr_spmm import bsr_spmm
+            return bsr_spmm(operator, x)
+        if name == "EllMatrix":
+            from fitgnn_tpu.ops.ell_spmm import ell_spmm
+            return ell_spmm(operator, x)
+        raise TypeError(f"unknown SpMM operator {name}")
     return spmm_coo(edge_weight, senders, receivers, x, num_nodes)
