@@ -302,6 +302,121 @@ def load_attributed_npz(root: str, name: str) -> NodeDataset:
 
 
 # ---------------------------------------------------------------------------
+# GraphSAINT format (Flickr / Reddit / Yelp)
+# ---------------------------------------------------------------------------
+
+def load_graphsaint(root: str, name: str) -> NodeDataset:
+    """GraphSAINT layout: ``adj_full.npz`` (CSR), ``feats.npy``,
+    ``class_map.json``, ``role.json`` (tr/va/te index lists)."""
+    import json as _json
+    import scipy.sparse as sp
+    raw = os.path.join(root, name, "raw")
+    adj_p = os.path.join(raw, "adj_full.npz")
+    if not os.path.exists(adj_p):
+        raise _missing(name, raw, "GraphSAINT adj_full.npz/feats.npy/"
+                                  "class_map.json/role.json")
+    adj = sp.load_npz(adj_p).tocoo()
+    x = np.load(os.path.join(raw, "feats.npy")).astype(np.float32)
+    with open(os.path.join(raw, "class_map.json")) as f:
+        cmap = _json.load(f)
+    n = x.shape[0]
+    first = next(iter(cmap.values()))
+    if isinstance(first, list):
+        y = np.zeros((n, len(first)), dtype=np.int64)
+        for k, v in cmap.items():
+            y[int(k)] = v
+    else:
+        y = np.zeros(n, dtype=np.int64)
+        for k, v in cmap.items():
+            y[int(k)] = v
+    masks = {}
+    role_p = os.path.join(raw, "role.json")
+    if os.path.exists(role_p):
+        with open(role_p) as f:
+            role = _json.load(f)
+        for part, attr in (("tr", "train_mask"), ("va", "val_mask"),
+                           ("te", "test_mask")):
+            m = np.zeros(n, dtype=bool)
+            m[np.asarray(role[part], dtype=np.int64)] = True
+            masks[attr] = m
+    return NodeDataset(name=name, x=x, senders=adj.row.astype(np.int64),
+                       receivers=adj.col.astype(np.int64), y=y, **masks)
+
+
+# ---------------------------------------------------------------------------
+# QM9 raw sdf format
+# ---------------------------------------------------------------------------
+
+QM9_ATOMS = {"H": 0, "C": 1, "N": 2, "O": 3, "F": 4}
+
+
+def load_qm9_sdf(root: str, max_molecules: Optional[int] = None
+                 ) -> GraphDataset:
+    """Parse ``gdb9.sdf`` + ``gdb9.sdf.csv`` (the PyG QM9 raw pair):
+    features = atom-type one-hot (5) + atomic coords (3) + bond-degree;
+    targets = the 19 property columns of the csv."""
+    raw = os.path.join(root, "QM9", "raw")
+    sdf_p = os.path.join(raw, "gdb9.sdf")
+    csv_p = os.path.join(raw, "gdb9.sdf.csv")
+    if not (os.path.exists(sdf_p) and os.path.exists(csv_p)):
+        raise _missing("QM9", raw, "gdb9.sdf + gdb9.sdf.csv")
+
+    targets = []
+    with open(csv_p) as f:
+        next(f)
+        for line in f:
+            parts = line.strip().split(",")
+            targets.append([float(v) for v in parts[1:20]])
+    targets = np.asarray(targets, dtype=np.float32)
+
+    graphs = []
+    with open(sdf_p) as f:
+        content = f.read()
+    for bi, block in enumerate(content.split("$$$$\n")):
+        if max_molecules is not None and bi >= max_molecules:
+            break
+        lines = block.splitlines()
+        if len(lines) < 4:
+            continue
+        counts = lines[3].split()
+        try:
+            na, nb = int(counts[0]), int(counts[1])
+        except (ValueError, IndexError):
+            continue
+        feats = np.zeros((na, 9), dtype=np.float32)
+        ok = True
+        for i in range(na):
+            p = lines[4 + i].split()
+            try:
+                feats[i, :3] = [float(p[0]), float(p[1]), float(p[2])]
+                feats[i, 3 + QM9_ATOMS.get(p[3], 4)] = 1.0
+            except (ValueError, IndexError):
+                ok = False
+                break
+        if not ok:
+            continue
+        s_list, r_list = [], []
+        for i in range(nb):
+            p = lines[4 + na + i].split()
+            try:
+                a, b = int(p[0]) - 1, int(p[1]) - 1
+            except (ValueError, IndexError):
+                continue
+            if 0 <= a < na and 0 <= b < na:
+                s_list.append(a)
+                r_list.append(b)
+        s = np.asarray(s_list, dtype=np.int32)
+        r = np.asarray(r_list, dtype=np.int32)
+        deg = np.zeros(na, dtype=np.float32)
+        np.add.at(deg, s, 1.0)
+        np.add.at(deg, r, 1.0)
+        feats[:, 8] = deg
+        graphs.append((feats, s, r))
+    return GraphDataset(name="QM9", graphs=graphs,
+                        y=targets[: len(graphs)])
+
+
+# ---------------------------------------------------------------------------
 # OGB node-property raw format (ogbn-arxiv / ogbn-products / ogbn-proteins)
 # ---------------------------------------------------------------------------
 
@@ -360,7 +475,12 @@ def load_node_dataset(name: str, root: str = "./dataset") -> NodeDataset:
         return load_ogbn(root, key)
     if key == "wikics":
         return load_wikics(root)
-    if key in ("physics", "dblp", "flickr"):
+    if key == "flickr":
+        try:
+            return load_graphsaint(root, key)
+        except DatasetNotFoundError:
+            return load_attributed_npz(root, key)
+    if key in ("physics", "dblp"):
         return load_attributed_npz(root, key)
     raise _missing(name, root, f"{key}.npz standardized cache")
 
@@ -412,4 +532,6 @@ def load_graph_dataset(name: str, root: str = "./dataset") -> GraphDataset:
         return load_tu_dataset(root, name)
     if name.startswith("ZINC"):
         return load_zinc_pickle(root, "ZINC", subset="subset" in name)
+    if name == "QM9":
+        return load_qm9_sdf(root)
     raise _missing(name, root, f"{name}_graphs.npz cache or TU raw files")

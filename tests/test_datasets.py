@@ -100,6 +100,62 @@ class TestWikipedia:
         assert len(ds.senders) == 2
 
 
+class TestGraphSaint:
+    def test_parse(self, tmp_path):
+        import json
+        import scipy.sparse as sp
+        raw = tmp_path / "flickr" / "raw"
+        raw.mkdir(parents=True)
+        adj = sp.csr_matrix(np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]],
+                                     dtype=np.float64))
+        sp.save_npz(str(raw / "adj_full.npz"), adj)
+        np.save(str(raw / "feats.npy"),
+                np.ones((3, 4), dtype=np.float32))
+        (raw / "class_map.json").write_text(
+            json.dumps({"0": 1, "1": 0, "2": 1}))
+        (raw / "role.json").write_text(
+            json.dumps({"tr": [0], "va": [1], "te": [2]}))
+        from fitgnn_tpu.data.datasets import load_graphsaint
+        ds = load_graphsaint(str(tmp_path), "flickr")
+        assert ds.x.shape == (3, 4)
+        np.testing.assert_array_equal(ds.y, [1, 0, 1])
+        assert ds.train_mask.sum() == 1 and ds.test_mask[2]
+        assert len(ds.senders) == 4
+
+
+class TestQM9Sdf:
+    def test_parse(self, tmp_path):
+        raw = tmp_path / "QM9" / "raw"
+        raw.mkdir(parents=True)
+        # one water-like molecule: 3 atoms, 2 bonds (V2000 sdf block)
+        sdf = (
+            "gdb_1\n"
+            "     RDKit          3D\n"
+            "\n"
+            "  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+            "    0.0000    0.0000    0.0000 O   0  0\n"
+            "    0.7572    0.5865    0.0000 H   0  0\n"
+            "   -0.7572    0.5865    0.0000 H   0  0\n"
+            "  1  2  1  0\n"
+            "  1  3  1  0\n"
+            "M  END\n"
+            "$$$$\n")
+        (raw / "gdb9.sdf").write_text(sdf)
+        header = "mol_id," + ",".join(f"p{i}" for i in range(19))
+        (raw / "gdb9.sdf.csv").write_text(
+            header + "\ngdb_1," + ",".join(["1.5"] * 19) + "\n")
+        from fitgnn_tpu.data.datasets import load_qm9_sdf
+        ds = load_qm9_sdf(str(tmp_path))
+        assert len(ds.graphs) == 1
+        x, s, r = ds.graphs[0]
+        assert x.shape == (3, 9)
+        assert x[0, 3 + 3] == 1.0      # oxygen one-hot
+        assert x[1, 3 + 0] == 1.0      # hydrogen one-hot
+        assert x[0, 8] == 2.0          # O degree
+        np.testing.assert_array_equal(s, [0, 0])
+        assert ds.y.shape == (1, 19)
+
+
 class TestNpzCache:
     def test_roundtrip(self, tmp_path):
         ds = NodeDataset(
