@@ -180,14 +180,33 @@ def _splits(args, ds, num_classes):
 
 
 def _partition(args, ds, train, val, test, num_classes):
+    """Load-or-compute the partitioned dataset through the content-hashed
+    artifact cache (reference caches at every entry point, main.py:270-279)."""
     from fitgnn_tpu.partition import coarsen_and_partition
+    from fitgnn_tpu.utils.cache import ArtifactCache, content_key
+
     task = "classification" if args.task.endswith("cls") else "regression"
-    return coarsen_and_partition(
-        ds.x, ds.senders, ds.receivers, ds.y,
-        reduction=1.0 - args.coarsening_ratio,  # reference ratio semantics
-        method=args.coarsening_method, mode=_node_mode(args), task=task,
-        num_classes=num_classes, train_mask=train, val_mask=val,
-        test_mask=test, seed=args.seed)
+
+    def compute():
+        return coarsen_and_partition(
+            ds.x, ds.senders, ds.receivers, ds.y,
+            reduction=1.0 - args.coarsening_ratio,  # reference ratio semantics
+            method=args.coarsening_method, mode=_node_mode(args), task=task,
+            num_classes=num_classes, train_mask=train, val_mask=val,
+            test_mask=test, seed=args.seed)
+
+    cache = ArtifactCache(os.path.join(args.data_root, args.dataset, "saved"))
+    key = content_key(
+        {"x": ds.x[:1000], "senders": ds.senders, "receivers": ds.receivers,
+         "y": np.asarray(ds.y)[:1000]},
+        {"ratio": args.coarsening_ratio, "method": args.coarsening_method,
+         "mode": _node_mode(args), "task": args.task, "seed": args.seed,
+         "train": int(np.asarray(train).sum()) if train is not None else -1})
+    part, hit = cache.load_or_compute(key, compute)
+    if hit:
+        print(f"partition artifacts loaded from cache ({key})",
+              file=sys.stderr)
+    return part
 
 
 def cmd_train(args) -> int:
@@ -515,20 +534,13 @@ def cmd_stats(args) -> int:
 
 
 def cmd_save_graphs(args) -> int:
-    from fitgnn_tpu.utils.cache import ArtifactCache, content_key
-
+    """Warm the partition-artifact cache (_partition is load-or-compute)."""
     ds = _load_node(args)
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
-    cache = ArtifactCache(os.path.join(args.data_root, args.dataset, "saved"))
-    key = content_key(
-        {"x": ds.x[: 1000], "senders": ds.senders, "receivers": ds.receivers},
-        {"ratio": args.coarsening_ratio, "method": args.coarsening_method,
-         "mode": _node_mode(args), "task": args.task, "seed": args.seed})
-    part, hit = cache.load_or_compute(
-        key, lambda: _partition(args, ds, train, val, test, num_classes))
-    print(f"artifacts {'loaded from' if hit else 'saved to'} cache key {key} "
-          f"({part.num_metanodes} metanodes)")
+    part = _partition(args, ds, train, val, test, num_classes)
+    print(f"partition artifacts cached ({part.num_metanodes} metanodes, "
+          f"{part.subgraphs.num_subgraphs} subgraphs)")
     return 0
 
 

@@ -99,8 +99,8 @@ class TestCommands:
     def test_save_graphs_cache_roundtrip(self, tmp_path, toy_root, capsys):
         rc = run_cli(tmp_path, toy_root, "save-graphs", "--dataset", "toy")
         assert rc == 0
-        out1 = capsys.readouterr().out
-        assert "saved to cache" in out1
+        assert "partition artifacts cached" in capsys.readouterr().out
+        # second invocation hits the content-hashed cache (stderr notice)
         rc = run_cli(tmp_path, toy_root, "save-graphs", "--dataset", "toy")
-        out2 = capsys.readouterr().out
-        assert "loaded from cache" in out2
+        captured = capsys.readouterr()
+        assert "loaded from cache" in captured.err
