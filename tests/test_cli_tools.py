@@ -36,6 +36,40 @@ def run_cli(tmp_path, toy_root, *argv):
         os.chdir(cwd)
 
 
+@pytest.fixture
+def toy_graph_root(tmp_path):
+    from fitgnn_tpu.data.synthetic import random_graph_dataset
+    graphs, y = random_graph_dataset(num_graphs=24, seed=0)
+    d = tmp_path / "toyg"
+    d.mkdir()
+    arr = np.empty(len(graphs), dtype=object)
+    for i, g in enumerate(graphs):
+        arr[i] = g
+    np.savez(str(d / "toyg_graphs.npz"), graphs=arr, y=y,
+             allow_pickle=True)
+    return tmp_path
+
+
+class TestGraphCommands:
+    def test_train_graph_cls(self, tmp_path, toy_graph_root):
+        rc = run_cli(tmp_path, toy_graph_root, "train", "--dataset", "toyg",
+                     "--task", "graph_cls", "--hidden", "8",
+                     "--epochs1", "2", "--epochs2", "2",
+                     "--exp_setup", "Gc_train_2_Gc_infer", "--train_fitgnn")
+        assert rc == 0
+        content = (tmp_path / "results" / "toyg.csv").read_text()
+        assert "Gc_train_2_Gc_infer" in content
+
+    def test_infer_graph(self, tmp_path, toy_graph_root):
+        rc = run_cli(tmp_path, toy_graph_root, "infer", "--dataset", "toyg",
+                     "--task", "graph_cls", "--hidden", "8",
+                     "--num_test_samples", "4")
+        assert rc == 0
+        content = (tmp_path / "inference_results" / "graph_cls.csv"
+                   ).read_text()
+        assert "fitgnn_gs" in content and "fitgnn_gc" in content
+
+
 class TestArgCorrection:
     def test_cluster_extra_mutual_exclusion(self):
         args = build_parser().parse_args(
