@@ -44,12 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--extra_node", action="store_true")
         sp.add_argument("--cluster_node", action="store_true")
         sp.add_argument("--use_community_detection", action="store_true")
+        sp.add_argument("--experiment", type=str, default="fixed")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--output_dir", type=str, default="out")
         return sp
 
     t = common(sub.add_parser("train"))
-    t.add_argument("--experiment", type=str, default="fixed")
     t.add_argument("--exp_setup", type=str, default="Gc_train_2_Gs_infer")
     t.add_argument("--runs", type=int, default=20)
     t.add_argument("--hidden", type=int, default=512)
@@ -79,7 +79,6 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--num_layers1", type=int, default=2)
     i.add_argument("--num_test_samples", type=int, default=100)
     i.add_argument("--checkpoint", type=str, default=None)
-    i.add_argument("--experiment", type=str, default="fixed")
 
     ib = common(sub.add_parser("infer-baseline"))
     ib.add_argument("--hidden", type=int, default=512)
@@ -87,7 +86,6 @@ def build_parser() -> argparse.ArgumentParser:
     ib.add_argument("--num_layers1", type=int, default=2)
     ib.add_argument("--num_test_samples", type=int, default=100)
     ib.add_argument("--checkpoint", type=str, default=None)
-    ib.add_argument("--experiment", type=str, default="fixed")
 
     common(sub.add_parser("memory"))
     common(sub.add_parser("stats"))
@@ -169,8 +167,10 @@ def _splits(args, ds, num_classes):
     from fitgnn_tpu.data.splits import (splits_classification,
                                         splits_regression)
     if args.task == "node_reg":
-        return splits_regression(ds.num_nodes, args.train_ratio,
-                                 args.val_ratio, seed=args.seed)
+        return splits_regression(ds.num_nodes,
+                                 getattr(args, "train_ratio", 0.3),
+                                 getattr(args, "val_ratio", 0.2),
+                                 seed=args.seed)
     if getattr(args, "experiment", "fixed") == "fixed":
         if ds.train_mask is None:
             raise SystemExit(f"{args.dataset} provides no fixed split")
