@@ -85,23 +85,47 @@ class NodeTaskConfig:
     intermediate_inference_freq: int = 10
     save_path: Optional[str] = None       # orbax dir for best-val params
                                           # (reference model.pt, run.py:355)
+    bucket_sizes: bool = False            # size-bucketed Gs batches (bounds
+                                          # padding waste on skewed subgraphs)
 
 
-def _gs_train_epoch(state, batch, rng, cfg):
+def _gs_train_epoch(state, batches, rng, cfg):
+    if len(batches) == 1:
+        batch = batches[0]
+        if cfg.gradient_method == "GD":
+            return steps.gs_train_step_gd(state, batch, rng, cfg.task,
+                                          reduction=cfg.loss_reduction)
+        bs = min(cfg.batch_size, batch.num_subgraphs)
+        return steps.gs_train_epoch_mb(state, batch, rng, cfg.task,
+                                       batch_size=bs)
     if cfg.gradient_method == "GD":
-        return steps.gs_train_step_gd(state, batch, rng, cfg.task,
-                                      reduction=cfg.loss_reduction)
-    bs = min(cfg.batch_size, batch.num_subgraphs)
-    return steps.gs_train_epoch_mb(state, batch, rng, cfg.task,
-                                   batch_size=bs)
+        return steps.gs_train_step_gd_multi(state, batches, rng, cfg.task)
+    # MB over buckets: step through each bucket's chunks in turn
+    total = 0.0
+    for i, b in enumerate(batches):
+        bs = min(cfg.batch_size, b.num_subgraphs)
+        state, loss = steps.gs_train_epoch_mb(
+            state, b, jax.random.fold_in(rng, i), cfg.task, batch_size=bs)
+        total += float(loss)
+    return state, total
+
+
+def _gs_eval(state, batches, task, split):
+    if len(batches) == 1:
+        return steps.gs_eval_step(state, batches[0], task, split=split)
+    return steps.gs_eval_step_multi(state, batches, task, split=split)
 
 
 def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
-                  batch: SubgraphBatch, verbose: bool = False) -> TaskResult:
+                  batch, verbose: bool = False) -> TaskResult:
+    """``batch``: one SubgraphBatch, or a sequence of size-bucketed batches
+    (see partition.bucketing) — GD/eval semantics are identical."""
     if cfg.exp_setup not in EXP_SETUPS:
         raise ValueError(f"exp_setup must be one of {EXP_SETUPS}")
     if cfg.exp_setup != "Gs_train_2_Gs_infer" and coarse is None:
         raise ValueError(f"{cfg.exp_setup} requires a coarse graph")
+    batches = ((batch,) if isinstance(batch, SubgraphBatch)
+               else tuple(batch))
 
     model = NodeModel(layer_name=cfg.layer_name, hidden=cfg.hidden,
                       num_layers=cfg.num_layers, out_dim=cfg.out_dim,
@@ -119,7 +143,8 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
 
         rng = jax.random.PRNGKey(cfg.seed + run)
         rng, init_rng = jax.random.split(rng)
-        example = coarse.graph if coarse is not None else batch.subgraph(0)
+        example = (coarse.graph if coarse is not None
+                   else batches[0].subgraph(0))
         state = steps.create_state(model, init_rng, example.x, example,
                                    lr=cfg.lr, weight_decay=cfg.weight_decay)
 
@@ -149,10 +174,9 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             best_val = np.inf
             for epoch in range(cfg.epochs2):
                 rng, step_rng = jax.random.split(rng)
-                state, train_loss = _gs_train_epoch(state, batch, step_rng,
-                                                    cfg)
-                val_loss, val_acc = steps.gs_eval_step(state, batch, cfg.task,
-                                                       split="val")
+                state, train_loss = _gs_train_epoch(state, batches,
+                                                    step_rng, cfg)
+                val_loss, val_acc = _gs_eval(state, batches, cfg.task, "val")
                 val_loss = float(val_loss)
                 log("Gs_train_loss", float(train_loss), epoch)
                 log("Gs_val_loss", val_loss, epoch)
@@ -165,17 +189,16 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                     # periodic test with the best-so-far params
                     # (reference run.py:376-387)
                     test_state = state.replace(params=best_params)
-                    t_loss, t_acc = steps.gs_eval_step(
-                        test_state, batch, cfg.task, split="test")
+                    t_loss, t_acc = _gs_eval(test_state, batches, cfg.task,
+                                             "test")
                     log("Gs_test_loss_intermediate", float(t_loss), epoch)
                     log("Gs_test_acc_intermediate", float(t_acc), epoch)
 
         # test with the best-val params, timed (post-compile re-run)
         state = state.replace(params=best_params)
-        steps.gs_eval_step(state, batch, cfg.task, split="test")  # warm-up
+        _gs_eval(state, batches, cfg.task, "test")  # warm-up
         t0 = time.perf_counter()
-        test_loss, test_metric = steps.gs_eval_step(
-            state, batch, cfg.task, split="test")
+        test_loss, test_metric = _gs_eval(state, batches, cfg.task, "test")
         test_loss = float(test_loss)
         test_metric = float(test_metric)
         elapsed = time.perf_counter() - t0

@@ -67,6 +67,15 @@ class TestBucketing:
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
         np.testing.assert_allclose(float(m1), float(m2), rtol=1e-5)
 
+    def test_run_node_task_accepts_buckets(self):
+        from fitgnn_tpu.train import NodeTaskConfig, run_node_task
+        ds, buckets, _ = make_setup()
+        cfg = NodeTaskConfig(layer_name="GCNConv", hidden=16, num_layers=2,
+                             out_dim=3, exp_setup="Gs_train_2_Gs_infer",
+                             epochs2=20, runs=1, seed=0)
+        res = run_node_task(cfg, ds.coarse, buckets)
+        assert res.runs[0].test_acc > 0.5
+
     def test_multi_bucket_training_learns(self):
         ds, buckets, _ = make_setup()
         model = NodeModel(layer_name="GCNConv", hidden=16, num_layers=2,
