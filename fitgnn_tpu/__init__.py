@@ -15,3 +15,25 @@ re-designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import fitgnn_tpu` light)."""
+    _API = {
+        "Graph": ("fitgnn_tpu.graph", "Graph"),
+        "SubgraphBatch": ("fitgnn_tpu.graph", "SubgraphBatch"),
+        "build_graph": ("fitgnn_tpu.graph", "build_graph"),
+        # NOTE: `coarsen` the subpackage shadows the function at top level;
+        # use fitgnn_tpu.coarsen.coarsen
+        "coarsen_and_partition": ("fitgnn_tpu.partition",
+                                  "coarsen_and_partition"),
+        "NodeModel": ("fitgnn_tpu.models", "NodeModel"),
+        "GraphModel": ("fitgnn_tpu.models", "GraphModel"),
+        "NodeTaskConfig": ("fitgnn_tpu.train", "NodeTaskConfig"),
+        "run_node_task": ("fitgnn_tpu.train", "run_node_task"),
+    }
+    if name in _API:
+        import importlib
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'fitgnn_tpu' has no attribute {name!r}")
