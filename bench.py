@@ -27,6 +27,8 @@ import numpy as np
 REF_EDGES_PER_SEC = 5.0e7
 BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "float32")
 BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "150"))
+BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
+BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "")
 
 NUM_NODES = 169_344          # 1323 x 128 — ogbn-arxiv scale
 COMM = 128
@@ -60,6 +62,8 @@ def make_graph():
 
 def main():
     import jax
+    if BENCH_PRNG:
+        jax.config.update("jax_default_prng_impl", BENCH_PRNG)
     from fitgnn_tpu.graph import build_graph
     from fitgnn_tpu.models import NodeModel
     from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
@@ -82,10 +86,13 @@ def main():
     g = build_graph(x, senders.astype(np.int32), receivers.astype(np.int32),
                     y=y, train_mask=train, node_pad_to=128)
     num_edges = int(g.n_edge)
+    import jax.numpy as _jnp
+    tile_dtype = _jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
     hyb = build_hybrid(np.asarray(g.senders, dtype=np.int64),
                        np.asarray(g.receivers, dtype=np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
-                       min_block_edges=BENCH_TILE_THRESHOLD)
+                       min_block_edges=BENCH_TILE_THRESHOLD,
+                       tile_dtype=tile_dtype)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)
@@ -96,7 +103,8 @@ def main():
     dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
     model = NodeModel(layer_name="GCNConv", hidden=HIDDEN, num_layers=2,
                       out_dim=NUM_CLASSES, dtype=dtype,
-                      first_layer_preaggregated=True)
+                      first_layer_preaggregated=True,
+                      dropout_rate=BENCH_DROPOUT)
     # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact — input
     # features are constant, Â(X·W) = (Â·X)·W)
     x_pre = preaggregate_features(g)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from typing import Optional
 
 import numpy as np
 
@@ -72,20 +73,35 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--property", type=int, default=0)
     t.add_argument("--train_fitgnn", action="store_true")
     t.add_argument("--baseline", action="store_true")
+    t.add_argument("--run_intermediate_inference", action="store_true")
+    t.add_argument("--intermediate_inference_freq", type=int, default=10)
+    t.add_argument("--num_devices", type=int, default=1,
+                   help="shard node-task training over a device mesh "
+                        "(1 = single-chip)")
 
     i = common(sub.add_parser("infer"))
     i.add_argument("--hidden", type=int, default=512)
     i.add_argument("--layer_name", type=str, default="GCNConv")
     i.add_argument("--num_layers1", type=int, default=2)
+    i.add_argument("--num_layers2", type=int, default=None,
+                   help="inference model depth (reference inference.py:668 "
+                        "builds the timed model with num_layers2); defaults "
+                        "to num_layers1")
     i.add_argument("--num_test_samples", type=int, default=100)
-    i.add_argument("--checkpoint", type=str, default=None)
+    i.add_argument("--checkpoint", type=str, default=None,
+                   help="params checkpoint; defaults to the path `train` "
+                        "saves for the same (task, output_dir)")
 
     ib = common(sub.add_parser("infer-baseline"))
     ib.add_argument("--hidden", type=int, default=512)
     ib.add_argument("--layer_name", type=str, default="GCNConv")
     ib.add_argument("--num_layers1", type=int, default=2)
+    ib.add_argument("--num_layers2", type=int, default=None,
+                   help="inference model depth; defaults to num_layers1")
     ib.add_argument("--num_test_samples", type=int, default=100)
-    ib.add_argument("--checkpoint", type=str, default=None)
+    ib.add_argument("--checkpoint", type=str, default=None,
+                   help="params checkpoint; defaults to the path the "
+                        "baseline `train` saves")
 
     common(sub.add_parser("memory"))
     common(sub.add_parser("stats"))
@@ -209,6 +225,13 @@ def _partition(args, ds, train, val, test, num_classes):
     return part
 
 
+def checkpoint_path(task: str, output_dir: str, baseline: bool = False) -> str:
+    """The train→infer handshake convention (reference saves
+    ``save/.../model.pt`` and ``inference.py:668`` loads it)."""
+    parts = ["save", task] + (["baseline"] if baseline else []) + [output_dir]
+    return os.path.join(*parts, "model")
+
+
 def cmd_train(args) -> int:
     from fitgnn_tpu.train import NodeTaskConfig, run_node_task
     from fitgnn_tpu.utils import results as R
@@ -227,21 +250,28 @@ def cmd_train(args) -> int:
     part = _partition(args, ds, train, val, test, num_classes)
 
     task = "classification" if args.task == "node_cls" else "regression"
-    save_dir = os.path.join("save", args.task,
-                            "baseline" if args.baseline else "",
-                            args.output_dir)
+    save_path = checkpoint_path(args.task, args.output_dir)
+    save_dir = os.path.dirname(save_path)
+    # all experiment setups are valid for regression too (reference
+    # run.py:508 runs the same setups for node_regression)
     cfg = NodeTaskConfig(
         layer_name=args.layer_name, hidden=args.hidden,
         num_layers=args.num_layers1, task=task,
         out_dim=num_classes if task == "classification" else 1,
-        exp_setup=args.exp_setup if task == "classification"
-        else "Gs_train_2_Gs_infer",
+        exp_setup=args.exp_setup,
         epochs1=args.epochs1, epochs2=args.epochs2, lr=args.lr,
         weight_decay=args.weight_decay, gradient_method=args.gradient_method,
         batch_size=args.batch_size, loss_reduction=args.loss_reduction,
         runs=args.runs, seed=args.seed, logdir=save_dir,
-        save_path=os.path.join(save_dir, "model"))
+        save_path=save_path,
+        run_intermediate_inference=args.run_intermediate_inference,
+        intermediate_inference_freq=args.intermediate_inference_freq,
+        intermediate_csv_path=(
+            f"results/{args.dataset}_intermediate_inference.csv"
+            if args.run_intermediate_inference else None),
+        num_devices=args.num_devices)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
+    print(f"checkpoint saved: {save_path}")
     s = res.summary
 
     header = (R.TRAIN_NODE_CLS_HEADER if task == "classification"
@@ -325,6 +355,12 @@ def _cmd_train_baseline(args) -> int:
         print(f"baseline run {run}: test_loss={test_loss:.4f} "
               f"metric={test_acc:.4f}")
 
+    # train→infer handshake (reference run.py:863 saves best-val model.pt)
+    from fitgnn_tpu.train.checkpoint import save_params
+    ckpt = checkpoint_path(args.task, args.output_dir, baseline=True)
+    save_params(ckpt, best_params)
+    print(f"checkpoint saved: {ckpt}")
+
     acc, loss = _np.asarray(all_acc), _np.asarray(all_loss)
     top_acc = _np.sort(acc)[::-1][:10]
     top_loss = _np.sort(loss)[:10]
@@ -352,7 +388,7 @@ def _cmd_train_baseline(args) -> int:
 def _cmd_train_graph(args) -> int:
     from fitgnn_tpu.data.datasets import load_graph_dataset
     from fitgnn_tpu.data.graph_level import (prepare_graph_sample,
-                                             collate_graph_level)
+                                             collate_graph_level_batches)
     from fitgnn_tpu.data.splits import splits_graph_level
     from fitgnn_tpu.train.graph_loop import GraphTaskConfig, run_graph_task
     from fitgnn_tpu.utils import results as R
@@ -364,18 +400,26 @@ def _cmd_train_graph(args) -> int:
         method=args.coarsening_method, mode=_node_mode(args), seed=args.seed)
         for (x, s, r), y_ in zip(gds.graphs, gds.y)]
     tr, va, te = splits_graph_level(len(samples), seed=args.seed)
-    bt = collate_graph_level([samples[i] for i in tr])
-    bv = collate_graph_level([samples[i] for i in va])
-    be = collate_graph_level([samples[i] for i in te])
+    # chunked minibatches (one optimizer step per chunk; QM9/ZINC-scale
+    # splits never collate into a single batch) — reference run.py:577-580
+    bt = collate_graph_level_batches([samples[i] for i in tr],
+                                     args.batch_size)
+    bv = collate_graph_level_batches([samples[i] for i in va],
+                                     args.batch_size)
+    be = collate_graph_level_batches([samples[i] for i in te],
+                                     args.batch_size)
 
     out_dim = int(gds.y.max()) + 1 if classify else 1
+    save_path = checkpoint_path(args.task, args.output_dir)
     cfg = GraphTaskConfig(
         layer_name=args.layer_name, hidden=args.hidden,
         num_layers=args.num_layers1, out_dim=out_dim, classify=classify,
         exp_setup=args.exp_setup, epochs1=args.epochs1, epochs2=args.epochs2,
         lr=args.lr, weight_decay=args.weight_decay,
-        prop=args.property if args.multi_prop else None, seed=args.seed)
+        prop=args.property if args.multi_prop else None, seed=args.seed,
+        batch_size=args.batch_size, save_path=save_path)
     res = run_graph_task(cfg, bt, bv, be)
+    print(f"checkpoint saved: {save_path}")
     row = R.format_row(R.TRAIN_GRAPH_HEADER, {
         "dataset": args.dataset, "coarsening_method": args.coarsening_method,
         "coarsening_ratio": args.coarsening_ratio,
@@ -390,6 +434,22 @@ def _cmd_train_graph(args) -> int:
     R.append_csv_row(f"results/{args.dataset}.csv", R.TRAIN_GRAPH_HEADER, row)
     print(f"results/{args.dataset}.csv <- {row}")
     return 0
+
+
+def _resolve_checkpoint(args, baseline: bool) -> Optional[str]:
+    """Train→infer handshake: explicit ``--checkpoint`` wins; otherwise look
+    for the path ``train`` saves for the same (task, output_dir) — the
+    reference loads ``save/.../model.pt`` before timing (inference.py:668)."""
+    if args.checkpoint:
+        return args.checkpoint
+    default = checkpoint_path(args.task, args.output_dir, baseline=baseline)
+    if os.path.isdir(default) or os.path.exists(default):
+        print(f"using checkpoint from train: {default}", file=sys.stderr)
+        return default
+    print("WARNING: no checkpoint found at "
+          f"{default} and no --checkpoint given — timing RANDOM params "
+          "(losses/accuracies below are meaningless)", file=sys.stderr)
+    return None
 
 
 def cmd_infer(args, baseline: bool = False) -> int:
@@ -408,17 +468,20 @@ def cmd_infer(args, baseline: bool = False) -> int:
     num_classes = ds.num_classes if classify else None
     train, val, test = _splits(args, ds, num_classes)
 
+    depth = args.num_layers2 if args.num_layers2 is not None \
+        else args.num_layers1
     model = NodeModel(layer_name=args.layer_name, hidden=args.hidden,
-                      num_layers=args.num_layers1,
+                      num_layers=depth,
                       out_dim=num_classes if classify else 1,
                       classify=classify)
+    ckpt = _resolve_checkpoint(args, baseline)
 
     if baseline:
         g = build_graph(ds.x, ds.senders, ds.receivers)
         params = model.init(jax.random.PRNGKey(args.seed), g.x, g)
-        if args.checkpoint:
+        if ckpt:
             from fitgnn_tpu.train.checkpoint import restore_params
-            params = restore_params(args.checkpoint, params)
+            params = restore_params(ckpt, params)
         rep = baseline_inference_benchmark(
             model, params, g, test, ds.y,
             num_samples=args.num_test_samples, classify=classify,
@@ -427,9 +490,9 @@ def cmd_infer(args, baseline: bool = False) -> int:
         part = _partition(args, ds, train, val, test, num_classes)
         g0 = part.subgraphs.subgraph(0)
         params = model.init(jax.random.PRNGKey(args.seed), g0.x, g0)
-        if args.checkpoint:
+        if ckpt:
             from fitgnn_tpu.train.checkpoint import restore_params
-            params = restore_params(args.checkpoint, params)
+            params = restore_params(ckpt, params)
         rep = node_inference_benchmark(
             model, params, part.subgraphs, part.parent, test, ds.y,
             num_samples=args.num_test_samples, classify=classify,
@@ -469,15 +532,18 @@ def _cmd_infer_graph(args) -> int:
         method=args.coarsening_method, mode=_node_mode(args), seed=args.seed)
         for (x, s, r), y_ in zip(gds.graphs[:n], gds.y[:n])]
     out_dim = int(gds.y.max()) + 1 if classify else 1
+    depth = args.num_layers2 if getattr(args, "num_layers2", None) is not None \
+        else args.num_layers1
     model = GraphModel(layer_name=args.layer_name, hidden=args.hidden,
-                       num_layers=args.num_layers1, out_dim=out_dim,
+                       num_layers=depth, out_dim=out_dim,
                        classify=classify)
     b0 = collate_graph_level([samples[0]])
     params = model.init(jax.random.PRNGKey(args.seed), b0.gc.x, b0.gc,
                         b0.gc_graph_ids, 1)
-    if args.checkpoint:
+    ckpt = _resolve_checkpoint(args, baseline=False)
+    if ckpt:
         from fitgnn_tpu.train.checkpoint import restore_params
-        params = restore_params(args.checkpoint, params)
+        params = restore_params(ckpt, params)
     for view in ("gs", "gc"):
         rep = graph_inference_benchmark(model, params, samples, gds.y[:n],
                                         view=view, classify=classify,

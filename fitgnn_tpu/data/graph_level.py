@@ -106,11 +106,26 @@ class GraphLevelBatch:
     gs_graph_ids: jnp.ndarray      # (S, N_sub_pad) sample id per node slot
     y: jnp.ndarray                 # (B,) or (B, T)
     num_graphs: int = flax.struct.field(pytree_node=False)
+    graph_mask: jnp.ndarray = None  # (B,) bool; False on padding samples
+                                    # (None = every slot is a real sample)
+
+
+@dataclasses.dataclass
+class _PadTargets:
+    """Shared static shapes so every chunk compiles to one executable."""
+
+    num_graphs: int
+    gc_nodes: int
+    gc_edges: int
+    num_subgraphs: int
+    sub_nodes: int
+    sub_edges: int
 
 
 def collate_graph_level(samples: Sequence[GraphSample],
                         node_pad_to: int = 8,
-                        edge_pad_to: int = 128) -> GraphLevelBatch:
+                        edge_pad_to: int = 128,
+                        pad: "_PadTargets | None" = None) -> GraphLevelBatch:
     b = len(samples)
     assert b > 0
     feat = samples[0].coarse_x.shape[1]
@@ -140,6 +155,10 @@ def collate_graph_level(samples: Sequence[GraphSample],
 
     n_pad = max(_round_up(total + 1, node_pad_to), node_pad_to)
     e_pad = max(_round_up(max(len(senders), 1), edge_pad_to), edge_pad_to)
+    if pad is not None:
+        assert pad.gc_nodes >= n_pad and pad.gc_edges >= e_pad, (pad, n_pad,
+                                                                 e_pad)
+        n_pad, e_pad = pad.gc_nodes, pad.gc_edges
     xp = np.zeros((n_pad, feat), dtype=np.float32)
     xp[:total] = xs
     sp_ = np.full(e_pad, n_pad - 1, dtype=np.int32)
@@ -163,12 +182,69 @@ def collate_graph_level(samples: Sequence[GraphSample],
         for spec in smp.subgraphs:
             all_specs.append(spec)
             spec_gid.append(i)
-    gs = pad_subgraphs(all_specs, node_pad_to=node_pad_to,
-                       edge_pad_to=edge_pad_to)
-    gs_gids = np.asarray(spec_gid, dtype=np.int32)[:, None] * np.ones(
-        (1, gs.num_nodes_padded), dtype=np.int32)
+    gs = pad_subgraphs(
+        all_specs, node_pad_to=node_pad_to, edge_pad_to=edge_pad_to,
+        pad_nodes_to=None if pad is None else pad.sub_nodes,
+        pad_edges_to=None if pad is None else pad.sub_edges,
+        pad_count_to=None if pad is None else pad.num_subgraphs)
+    gid_col = np.zeros(gs.num_subgraphs, dtype=np.int32)
+    gid_col[:len(spec_gid)] = spec_gid
+    gs_gids = gid_col[:, None] * np.ones((1, gs.num_nodes_padded),
+                                         dtype=np.int32)
 
+    b_pad = b if pad is None else max(pad.num_graphs, b)
     y = np.stack([s.y for s in samples])
+    if b_pad > b:
+        y = np.concatenate(
+            [y, np.zeros((b_pad - b,) + y.shape[1:], dtype=y.dtype)])
+    gmask = np.arange(b_pad) < b
     return GraphLevelBatch(
         gc=gc, gc_graph_ids=jnp.asarray(gp), gs=gs,
-        gs_graph_ids=jnp.asarray(gs_gids), y=jnp.asarray(y), num_graphs=b)
+        gs_graph_ids=jnp.asarray(gs_gids), y=jnp.asarray(y),
+        num_graphs=b_pad, graph_mask=jnp.asarray(gmask))
+
+
+def compute_pad_targets(chunks: Sequence[Sequence[GraphSample]],
+                        node_pad_to: int = 8,
+                        edge_pad_to: int = 128) -> _PadTargets:
+    """Static shape envelope over a list of chunks (max per dimension) so one
+    compiled step serves every chunk."""
+    def gc_dims(chunk):
+        total = sum(s.coarse_x.shape[0] for s in chunk)
+        edges = sum(len(s.coarse_senders) for s in chunk) + total  # + loops
+        return total, edges
+
+    gc_n = gc_e = sub_n = sub_e = n_sub = n_g = 0
+    for chunk in chunks:
+        total, edges = gc_dims(chunk)
+        gc_n = max(gc_n, _round_up(total + 1, node_pad_to))
+        gc_e = max(gc_e, _round_up(max(edges, 1), edge_pad_to))
+        n_g = max(n_g, len(chunk))
+        specs = [sp for s in chunk for sp in s.subgraphs]
+        n_sub = max(n_sub, len(specs))
+        mx_n = max(sp.num_nodes for sp in specs)
+        sub_n = max(sub_n, _round_up(mx_n + 1, node_pad_to))
+        # worst case edges after symmetrization happened upstream; + loops
+        mx_e = max(len(sp.senders) + sp.num_nodes for sp in specs)
+        sub_e = max(sub_e, _round_up(max(mx_e, 1), edge_pad_to))
+    return _PadTargets(num_graphs=n_g, gc_nodes=gc_n, gc_edges=gc_e,
+                       num_subgraphs=n_sub, sub_nodes=sub_n, sub_edges=sub_e)
+
+
+def collate_graph_level_batches(samples: Sequence[GraphSample],
+                                batch_size: int,
+                                node_pad_to: int = 8,
+                                edge_pad_to: int = 128
+                                ) -> List[GraphLevelBatch]:
+    """Chunk ``samples`` into minibatches of ``batch_size`` graphs, collated
+    to ONE shared static shape (the analog of the reference's
+    ``T_DataLoader(..., batch_size, collate_fn=colater())``,
+    ``run.py:577-580`` — but with shape-stable chunks so jit compiles once).
+    """
+    if batch_size <= 0 or batch_size >= len(samples):
+        return [collate_graph_level(samples, node_pad_to, edge_pad_to)]
+    chunks = [samples[i:i + batch_size]
+              for i in range(0, len(samples), batch_size)]
+    pad = compute_pad_targets(chunks, node_pad_to, edge_pad_to)
+    return [collate_graph_level(c, node_pad_to, edge_pad_to, pad=pad)
+            for c in chunks]

@@ -87,11 +87,12 @@ class NodeModel(nn.Module):
     dtype: Optional[jnp.dtype] = None   # conv-stack compute dtype; the head
                                         # and softmax stay float32
     first_layer_preaggregated: bool = False  # pass x̃ = Â·X (see ConvStack)
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         x = ConvStack(self.layer_name, self.hidden, self.num_layers,
-                      dtype=self.dtype,
+                      dtype=self.dtype, dropout_rate=self.dropout_rate,
                       first_layer_preaggregated=self.first_layer_preaggregated,
                       name="convs")(x, g, train=train)
         x = nn.Dense(self.out_dim, name="head")(x.astype(jnp.float32))

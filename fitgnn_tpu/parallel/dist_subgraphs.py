@@ -74,6 +74,73 @@ def make_dist_gs_train_step(mesh: Mesh, example: SubgraphBatch,
     return jax.jit(step)
 
 
+def make_dist_gs_train_step_multi(mesh: Mesh, examples,
+                                  task: str = "classification"):
+    """GD step over size-bucketed batches, subgraph-axis sharded: the
+    distributed analog of ``gs_train_step_gd_multi`` — one update from the
+    masked mean across every bucket's train nodes on every shard."""
+    examples = tuple(examples)
+    spec = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), examples)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec, P()),
+                       out_specs=(P(), P()),
+                       check_vma=False)
+    def step(state: TrainState, batches, rng):
+        def loss_fn(params):
+            total, count = 0.0, 0.0
+            for i, b in enumerate(batches):
+                out = _vmapped_out(state.apply_fn, params, b, True,
+                                   jax.random.fold_in(rng, i))
+                if task == "classification":
+                    s, c = masked_nll_sum(out, b.y, b.train_mask)
+                else:
+                    s, c = masked_l1_sum(out, b.y, b.train_mask)
+                total = total + s
+                count = count + c
+            gc = jax.lax.psum(count, DATA_AXIS)
+            return total / jnp.maximum(gc, 1.0)
+
+        local_loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step)
+
+
+def make_dist_gs_eval_step_multi(mesh: Mesh, examples,
+                                 task: str = "classification",
+                                 split: str = "test"):
+    examples = tuple(examples)
+    spec = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), examples)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec),
+                       out_specs=(P(), P()),
+                       check_vma=False)
+    def step(state: TrainState, batches):
+        s_tot, c_tot, corr_tot = 0.0, 0.0, 0.0
+        for b in batches:
+            mask = b.val_mask if split == "val" else b.test_mask
+            out = _vmapped_out(state.apply_fn, state.params, b, False, None)
+            if task == "classification":
+                s, c = masked_nll_sum(out, b.y, mask)
+                corr, _ = masked_correct_sum(out, b.y, mask)
+            else:
+                s, c = masked_l1_sum(out, b.y, mask)
+                corr = s
+            s_tot += s
+            c_tot += c
+            corr_tot += corr
+        s_tot = jax.lax.psum(s_tot, DATA_AXIS)
+        c_tot = jnp.maximum(jax.lax.psum(c_tot, DATA_AXIS), 1.0)
+        corr_tot = jax.lax.psum(corr_tot, DATA_AXIS)
+        return s_tot / c_tot, corr_tot / c_tot
+
+    return jax.jit(step)
+
+
 def make_dist_gs_eval_step(mesh: Mesh, example: SubgraphBatch,
                            task: str = "classification",
                            split: str = "test"):

@@ -199,18 +199,29 @@ def pad_subgraphs(
     edge_pad_to: int = 128,
     self_loops: bool = True,
     normalize: bool = True,
+    pad_nodes_to: Optional[int] = None,
+    pad_edges_to: Optional[int] = None,
+    pad_count_to: Optional[int] = None,
 ) -> SubgraphBatch:
     """Pad all specs to uniform static shapes and stack into a SubgraphBatch.
 
     Global ``y``/split masks are gathered through ``orig_idx``; halo and
     summary slots are forced out of every split (the semantic fix of the
     reference's remapping, ``utils.py:683-703``).
+
+    ``pad_nodes_to``/``pad_edges_to``/``pad_count_to`` force the padded node
+    slot count, edge slot count, and subgraph count — so several chunks share
+    one compiled shape (chunked graph-level minibatching).  Extra subgraph
+    slots are empty (no nodes, weight-0 edges, all-False masks).
     """
     S = len(specs)
     assert S > 0
     feat = specs[0].x.shape[1]
     max_n = max(s.num_nodes for s in specs)
     n_pad = max(_round_up(max_n + 1, node_pad_to), node_pad_to)
+    if pad_nodes_to is not None:
+        assert pad_nodes_to >= n_pad, (pad_nodes_to, n_pad)
+        n_pad = pad_nodes_to
 
     # per-spec edge preprocessing first, so e_pad covers self loops
     processed = []
@@ -227,22 +238,26 @@ def pad_subgraphs(
         processed.append((snd[order_], rcv[order_], w[order_]))
     max_e = max(len(p[0]) for p in processed)
     e_pad = max(_round_up(max(max_e, 1), edge_pad_to), edge_pad_to)
+    if pad_edges_to is not None:
+        assert pad_edges_to >= e_pad, (pad_edges_to, e_pad)
+        e_pad = pad_edges_to
+    S_alloc = S if pad_count_to is None else max(pad_count_to, S)
 
-    xs = np.zeros((S, n_pad, feat), dtype=np.float32)
-    snds = np.full((S, e_pad), n_pad - 1, dtype=np.int32)
-    rcvs = np.full((S, e_pad), n_pad - 1, dtype=np.int32)
-    ws = np.zeros((S, e_pad), dtype=np.float32)
-    n_node = np.zeros(S, dtype=np.int32)
-    n_edge = np.zeros(S, dtype=np.int32)
-    consume = np.zeros((S, n_pad), dtype=bool)
-    orig = np.full((S, n_pad), -1, dtype=np.int32)
+    xs = np.zeros((S_alloc, n_pad, feat), dtype=np.float32)
+    snds = np.full((S_alloc, e_pad), n_pad - 1, dtype=np.int32)
+    rcvs = np.full((S_alloc, e_pad), n_pad - 1, dtype=np.int32)
+    ws = np.zeros((S_alloc, e_pad), dtype=np.float32)
+    n_node = np.zeros(S_alloc, dtype=np.int32)
+    n_edge = np.zeros(S_alloc, dtype=np.int32)
+    consume = np.zeros((S_alloc, n_pad), dtype=bool)
+    orig = np.full((S_alloc, n_pad), -1, dtype=np.int32)
 
     y_shape = () if y is None else np.asarray(y).shape[1:]
-    ys = None if y is None else np.zeros((S, n_pad) + y_shape,
+    ys = None if y is None else np.zeros((S_alloc, n_pad) + y_shape,
                                          dtype=np.asarray(y).dtype)
-    tr = None if train_mask is None else np.zeros((S, n_pad), dtype=bool)
-    va = None if val_mask is None else np.zeros((S, n_pad), dtype=bool)
-    te = None if test_mask is None else np.zeros((S, n_pad), dtype=bool)
+    tr = None if train_mask is None else np.zeros((S_alloc, n_pad), dtype=bool)
+    va = None if val_mask is None else np.zeros((S_alloc, n_pad), dtype=bool)
+    te = None if test_mask is None else np.zeros((S_alloc, n_pad), dtype=bool)
 
     for k, (s, (snd, rcv, w)) in enumerate(zip(specs, processed)):
         n, e = s.num_nodes, len(snd)

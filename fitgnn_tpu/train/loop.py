@@ -87,6 +87,42 @@ class NodeTaskConfig:
                                           # (reference model.pt, run.py:355)
     bucket_sizes: bool = False            # size-bucketed Gs batches (bounds
                                           # padding waste on skewed subgraphs)
+    intermediate_csv_path: Optional[str] = None  # reference run.py:376-387
+                                          # sink: epoch,test_loss,test_acc,
+                                          # test_time appended per check
+    num_devices: int = 1                  # >1: shard the Gs phase over the
+                                          # subgraph axis (GD only)
+
+
+def _make_dist_steps(cfg, batches):
+    """Build the subgraph-axis sharded Gs steps for ``cfg.num_devices``.
+
+    Returns (train_step(state, rng), eval_step(state, split), batches) with
+    the batches padded to a shard multiple and captured in the closures."""
+    import jax.sharding
+    from fitgnn_tpu.parallel import mesh as pmesh
+    from fitgnn_tpu.parallel.dist_subgraphs import (
+        make_dist_gs_eval_step_multi, make_dist_gs_train_step_multi,
+        pad_batch_to_shards)
+
+    if cfg.gradient_method != "GD":
+        raise ValueError("num_devices > 1 supports gradient_method='GD' "
+                         "(one psum-reduced update per epoch)")
+    devices = jax.devices()
+    if len(devices) < cfg.num_devices:
+        raise ValueError(
+            f"num_devices={cfg.num_devices} but only {len(devices)} JAX "
+            f"devices are visible (set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N for a CPU mesh)")
+    mesh = jax.sharding.Mesh(np.array(devices[:cfg.num_devices]),
+                             (pmesh.DATA_AXIS,))
+    batches = tuple(pad_batch_to_shards(b, cfg.num_devices) for b in batches)
+    train = make_dist_gs_train_step_multi(mesh, batches, cfg.task)
+    evals = {s: make_dist_gs_eval_step_multi(mesh, batches, cfg.task, split=s)
+             for s in ("val", "test")}
+    return (lambda state, rng: train(state, batches, rng),
+            lambda state, split: evals[split](state, batches),
+            batches)
 
 
 def _gs_train_epoch(state, batches, rng, cfg):
@@ -130,6 +166,17 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
     model = NodeModel(layer_name=cfg.layer_name, hidden=cfg.hidden,
                       num_layers=cfg.num_layers, out_dim=cfg.out_dim,
                       classify=cfg.task == "classification")
+
+    if cfg.num_devices > 1:
+        dist_train, dist_eval, batches = _make_dist_steps(cfg, batches)
+        gs_train_fn = lambda state, rng: dist_train(state, rng)  # noqa: E731
+        gs_eval_fn = lambda state, split: dist_eval(state, split)  # noqa: E731
+    else:
+        gs_train_fn = lambda state, rng: _gs_train_epoch(  # noqa: E731
+            state, batches, rng, cfg)
+        gs_eval_fn = lambda state, split: _gs_eval(  # noqa: E731
+            state, batches, cfg.task, split)
+
     results: List[RunResult] = []
     for run in range(cfg.runs):
         writer = None
@@ -174,9 +221,8 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             best_val = np.inf
             for epoch in range(cfg.epochs2):
                 rng, step_rng = jax.random.split(rng)
-                state, train_loss = _gs_train_epoch(state, batches,
-                                                    step_rng, cfg)
-                val_loss, val_acc = _gs_eval(state, batches, cfg.task, "val")
+                state, train_loss = gs_train_fn(state, step_rng)
+                val_loss, val_acc = gs_eval_fn(state, "val")
                 val_loss = float(val_loss)
                 log("Gs_train_loss", float(train_loss), epoch)
                 log("Gs_val_loss", val_loss, epoch)
@@ -189,16 +235,24 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                     # periodic test with the best-so-far params
                     # (reference run.py:376-387)
                     test_state = state.replace(params=best_params)
-                    t_loss, t_acc = _gs_eval(test_state, batches, cfg.task,
-                                             "test")
-                    log("Gs_test_loss_intermediate", float(t_loss), epoch)
-                    log("Gs_test_acc_intermediate", float(t_acc), epoch)
+                    t0 = time.perf_counter()
+                    t_loss, t_acc = gs_eval_fn(test_state, "test")
+                    t_loss, t_acc = float(t_loss), float(t_acc)
+                    t_time = time.perf_counter() - t0
+                    log("Gs_test_loss_intermediate", t_loss, epoch)
+                    log("Gs_test_acc_intermediate", t_acc, epoch)
+                    if cfg.intermediate_csv_path is not None:
+                        from fitgnn_tpu.utils.results import append_csv_row
+                        append_csv_row(
+                            cfg.intermediate_csv_path,
+                            "epoch,test_loss,test_acc,test_time",
+                            f"{epoch},{t_loss},{t_acc},{t_time}")
 
         # test with the best-val params, timed (post-compile re-run)
         state = state.replace(params=best_params)
-        _gs_eval(state, batches, cfg.task, "test")  # warm-up
+        gs_eval_fn(state, "test")  # warm-up
         t0 = time.perf_counter()
-        test_loss, test_metric = _gs_eval(state, batches, cfg.task, "test")
+        test_loss, test_metric = gs_eval_fn(state, "test")
         test_loss = float(test_loss)
         test_metric = float(test_metric)
         elapsed = time.perf_counter() - t0
