@@ -29,6 +29,10 @@ BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "float32")
 BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "150"))
 BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
 BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "")
+# component ablations (diagnostics only — vs_baseline is not honest then):
+#   no_coo  — drop the straggler COO edges from the hybrid operator
+#   no_spmm — drop the whole aggregation (dense path floor)
+BENCH_ABLATE = os.environ.get("FITGNN_BENCH_ABLATE", "")
 
 NUM_NODES = 169_344          # 1323 x 128 — ogbn-arxiv scale
 COMM = 128
@@ -96,6 +100,16 @@ def main():
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)
+    if BENCH_ABLATE:
+        one = lambda a: a[:1]  # noqa: E731
+        hyb = hyb.replace(
+            senders=one(hyb.senders), receivers=one(hyb.receivers),
+            weights=0.0 * one(hyb.weights), t_senders=one(hyb.t_senders),
+            t_receivers=one(hyb.t_receivers),
+            t_weights=0.0 * one(hyb.t_weights),
+            bsr=None if BENCH_ABLATE == "no_spmm" else hyb.bsr)
+        print(f"ABLATION {BENCH_ABLATE}: timing is diagnostic only",
+              file=sys.stderr)
     g = g._replace(aux=hyb)
 
     import jax.numpy as jnp

@@ -11,6 +11,12 @@ from fitgnn_tpu.parallel.dist_train import (
 from fitgnn_tpu.parallel.halo import HaloPlan, build_halo_plan, halo_exchange
 from fitgnn_tpu.parallel.dist_subgraphs import (
     pad_batch_to_shards, make_dist_gs_train_step, make_dist_gs_eval_step,
+    make_dist_gs_train_step_multi, make_dist_gs_eval_step_multi,
+)
+from fitgnn_tpu.parallel.hierarchical import (
+    HierPlan, build_hier_plan, HierGCNConv, HierNodeModel, hier_aggregate,
+    make_hier_mesh, make_hier_train_step, hier_oracle_features,
+    HOST_AXIS, CHIP_AXIS,
 )
 
 __all__ = [
@@ -20,4 +26,8 @@ __all__ = [
     "create_dist_state", "make_dist_train_step", "make_dist_eval_step",
     "make_halo_train_step", "HaloPlan", "build_halo_plan", "halo_exchange",
     "pad_batch_to_shards", "make_dist_gs_train_step", "make_dist_gs_eval_step",
+    "make_dist_gs_train_step_multi", "make_dist_gs_eval_step_multi",
+    "HierPlan", "build_hier_plan", "HierGCNConv", "HierNodeModel",
+    "hier_aggregate", "make_hier_mesh", "make_hier_train_step",
+    "hier_oracle_features", "HOST_AXIS", "CHIP_AXIS",
 ]

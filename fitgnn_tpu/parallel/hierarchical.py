@@ -1,0 +1,401 @@
+"""Hierarchical halo exchange: exact boundary rows over ICI within a host
+group, cluster-summary rows over DCN between host groups, with the local
+(interior) aggregation structured to overlap both collectives.
+
+This is the reference's ``cluster_node`` mechanism (``utils.py:191-232`` —
+coarse-cluster features ``C·X`` standing in for remote context) promoted to a
+hierarchical collective (SURVEY §2.4):
+
+* edges whose sender lives on the same shard      → aggregated locally,
+  **before** any collective completes (XLA can overlap the in-flight
+  ``all_to_all``/``all_gather`` with this segment-sum because there is no
+  data dependency);
+* edges whose sender lives on another shard of the SAME host group
+  → exact 1-hop halo rows moved by one ``all_to_all`` over the ``chip``
+  (ICI) axis — the ``extra_node`` semantics (``utils.py:235-239``);
+* edges whose sender lives on a REMOTE host group  → redirected to that
+  sender's cluster-summary row (mean, or the reference's ``C·X`` partial
+  isometry) — summaries are recomputed from the current layer's activations
+  and ``all_gather``'d over the (``host``, ``chip``) axes, so only
+  ``n_clusters·F`` bytes cross DCN instead of the full boundary.
+
+With ``num_hosts == 1`` there are no summary edges and the layer computes
+the EXACT sharded GCN aggregation — it is then the overlap-split version of
+``DistGCNConvHalo``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import flax.struct
+
+from fitgnn_tpu.ops.segment import segment_sum
+
+HOST_AXIS = "host"
+CHIP_AXIS = "chip"
+
+
+@flax.struct.dataclass
+class HierPlan:
+    """Static exchange plan for a (num_hosts × chips_per_host) mesh.
+
+    Shard ``p`` sits at (host ``p // D``, chip ``p % D``).  All leading axes
+    are the shard axis P = H·D; edges are split three ways per shard.
+    """
+
+    # interior edges: sender and receiver local to the shard
+    int_senders: jnp.ndarray      # (P, Ei) local row ids
+    int_receivers: jnp.ndarray    # (P, Ei) local row ids
+    int_weights: jnp.ndarray      # (P, Ei)
+    # same-host halo edges: sender indexes the (D·K, F) halo table
+    halo_senders: jnp.ndarray     # (P, Eh) index into halo table
+    halo_receivers: jnp.ndarray   # (P, Eh) local row ids
+    halo_weights: jnp.ndarray     # (P, Eh)
+    send_idx: jnp.ndarray         # (P, D, K) local rows sent to same-host peers
+    send_mask: jnp.ndarray        # (P, D, K) bool
+    # remote-host edges: sender indexes the (P·C, F) summary table
+    sum_senders: jnp.ndarray      # (P, Es) index into summary table
+    sum_receivers: jnp.ndarray    # (P, Es) local row ids
+    sum_weights: jnp.ndarray      # (P, Es)
+    # cluster membership (for building the summaries each layer)
+    cluster_local: jnp.ndarray    # (P, n_loc) local cluster slot; C = padding
+    cluster_scale: jnp.ndarray    # (P, C) per-cluster scale (1/n or 1/√n)
+    num_hosts: int = flax.struct.field(pytree_node=False)
+    chips_per_host: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_shards(self) -> int:
+        return self.int_senders.shape[0]
+
+    @property
+    def clusters_per_shard(self) -> int:
+        return self.cluster_scale.shape[1]
+
+    @property
+    def halo_k(self) -> int:
+        return self.send_idx.shape[-1]
+
+
+def _pad2(rows, fill, width, dtype):
+    out = np.full((len(rows), width), fill, dtype=dtype)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out
+
+
+def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
+                    edge_weight: np.ndarray, num_hosts: int,
+                    chips_per_host: int, nodes_per_shard: int,
+                    cluster_of: np.ndarray, summary: str = "mean",
+                    pad_to: int = 8) -> HierPlan:
+    """Build the three-way edge split + exchange tables (host-side).
+
+    ``senders_global``/``receivers_local``/``edge_weight``: the
+    ``ShardedGraph`` layout — (P, E) with global senders, local receivers.
+    ``cluster_of``: (N_global,) cluster id per node; every cluster must live
+    entirely on one shard (community-contiguous placement guarantees this).
+    ``summary``: "mean" (Σx/n) or "isometry" (the reference's C·X rows,
+    Σx/√n — ``coarsening_utils.py:238``).
+    """
+    P = num_hosts * chips_per_host
+    assert senders_global.shape[0] == P, (senders_global.shape, P)
+    n_loc = nodes_per_shard
+    D = chips_per_host
+    s_all = np.asarray(senders_global, dtype=np.int64)
+    r_all = np.asarray(receivers_local, dtype=np.int64)
+    w_all = np.asarray(edge_weight)
+    cluster_of = np.asarray(cluster_of, dtype=np.int64)
+    n_global = len(cluster_of)
+
+    # per-shard cluster slot tables (clusters are shard-contiguous)
+    shard_clusters = []      # sorted unique cluster ids per shard
+    for p in range(P):
+        lo, hi = p * n_loc, min((p + 1) * n_loc, n_global)
+        ids = np.unique(cluster_of[lo:hi]) if hi > lo else np.empty(0, np.int64)
+        shard_clusters.append(ids)
+    owner_of_cluster = np.full(int(cluster_of.max()) + 1 if n_global else 1,
+                               -1, dtype=np.int64)
+    for p, ids in enumerate(shard_clusters):
+        for c in ids:
+            if owner_of_cluster[c] not in (-1, p):
+                raise ValueError(
+                    f"cluster {c} spans shards {owner_of_cluster[c]} and {p}"
+                    " — use community-contiguous node ordering")
+            owner_of_cluster[c] = p
+    C = max((len(i) for i in shard_clusters), default=1)
+    C = max(((C + pad_to - 1) // pad_to) * pad_to, pad_to)
+
+    cluster_local = np.full((P, n_loc), C, dtype=np.int32)  # C = padding slot
+    cluster_scale = np.zeros((P, C), dtype=np.float32)
+    for p, ids in enumerate(shard_clusters):
+        lo, hi = p * n_loc, min((p + 1) * n_loc, n_global)
+        if hi <= lo:
+            continue
+        slots = np.searchsorted(ids, cluster_of[lo:hi])
+        cluster_local[p, : hi - lo] = slots
+        counts = np.bincount(slots, minlength=C).astype(np.float32)
+        nz = counts > 0
+        cluster_scale[p, nz] = (1.0 / counts[nz] if summary == "mean"
+                                else 1.0 / np.sqrt(counts[nz]))
+
+    # halo need lists (same-host pairs only)
+    need = [[None] * D for _ in range(P)]   # need[q][d] = rows from chip d
+    for q in range(P):
+        h = q // D
+        owner = s_all[q] // n_loc
+        for d in range(D):
+            p = h * D + d
+            if p == q:
+                need[q][d] = np.empty(0, np.int64)
+                continue
+            rows = np.unique(s_all[q][owner == p]) % n_loc
+            need[q][d] = rows
+    k = max((len(need[q][d]) for q in range(P) for d in range(D)), default=1)
+    k = max(((k + pad_to - 1) // pad_to) * pad_to, pad_to)
+
+    send_idx = np.zeros((P, D, k), dtype=np.int32)
+    send_mask = np.zeros((P, D, k), dtype=bool)
+    for p in range(P):
+        hp, dp = p // D, p % D
+        for d in range(D):
+            q = hp * D + d
+            if q == p:
+                continue
+            rows = need[q][dp]
+            send_idx[p, d, : len(rows)] = rows
+            send_mask[p, d, : len(rows)] = True
+
+    # three-way edge split per shard
+    ints, intr, intw = [], [], []
+    has_, har_, haw_ = [], [], []
+    sus_, sur_, suw_ = [], [], []
+    for q in range(P):
+        hq = q // D
+        s, r, w = s_all[q], r_all[q], w_all[q]
+        owner = s // n_loc
+        local = owner == q
+        samehost = (owner // D == hq) & ~local
+        remote = ~local & ~samehost
+
+        ints.append(s[local] % n_loc)
+        intr.append(r[local])
+        intw.append(w[local])
+
+        sh = s[samehost]
+        oh = owner[samehost]
+        ext = np.zeros(len(sh), dtype=np.int64)
+        for d in range(D):
+            p = hq * D + d
+            sel = oh == p
+            if not sel.any():
+                continue
+            pos = np.searchsorted(need[q][d], sh[sel] % n_loc)
+            ext[sel] = d * k + pos
+        has_.append(ext)
+        har_.append(r[samehost])
+        haw_.append(w[samehost])
+
+        sr = s[remote]
+        orm = owner[remote]
+        slot = np.zeros(len(sr), dtype=np.int64)
+        for i, (sv, pv) in enumerate(zip(sr, orm)):
+            slot[i] = pv * C + np.searchsorted(shard_clusters[pv],
+                                               cluster_of[sv])
+        sus_.append(slot)
+        sur_.append(r[remote])
+        suw_.append(w[remote])
+
+    def pad_edges(s_lists, r_lists, w_lists):
+        e = max(max((len(a) for a in s_lists), default=0), 1)
+        e = ((e + pad_to - 1) // pad_to) * pad_to
+        return (_pad2(s_lists, 0, e, np.int32),
+                _pad2(r_lists, n_loc - 1, e, np.int32),
+                _pad2(w_lists, 0.0, e, np.float32))
+
+    is_, ir_, iw_ = pad_edges(ints, intr, intw)
+    hs_, hr_, hw_ = pad_edges(has_, har_, haw_)
+    ss_, sr2, sw_ = pad_edges(sus_, sur_, suw_)
+
+    return HierPlan(
+        int_senders=jnp.asarray(is_), int_receivers=jnp.asarray(ir_),
+        int_weights=jnp.asarray(iw_),
+        halo_senders=jnp.asarray(hs_), halo_receivers=jnp.asarray(hr_),
+        halo_weights=jnp.asarray(hw_),
+        send_idx=jnp.asarray(send_idx), send_mask=jnp.asarray(send_mask),
+        sum_senders=jnp.asarray(ss_), sum_receivers=jnp.asarray(sr2),
+        sum_weights=jnp.asarray(sw_),
+        cluster_local=jnp.asarray(cluster_local),
+        cluster_scale=jnp.asarray(cluster_scale),
+        num_hosts=num_hosts, chips_per_host=chips_per_host)
+
+
+def hier_aggregate(h: jnp.ndarray, plan_b: HierPlan) -> jnp.ndarray:
+    """One shard's hierarchical aggregation of activations ``h`` (n_loc, F).
+
+    ``plan_b``: this shard's slices (leading shard axis already indexed).
+    Collectives are issued FIRST and the interior segment-sum runs while they
+    are in flight (no data dependency — XLA schedules them concurrently).
+    """
+    n_loc = h.shape[0]
+    C = plan_b.cluster_scale.shape[0]
+
+    # --- issue both collectives -----------------------------------------
+    buf = h[plan_b.send_idx] * plan_b.send_mask[..., None].astype(h.dtype)
+    halo = jax.lax.all_to_all(buf, CHIP_AXIS, split_axis=0, concat_axis=0,
+                              tiled=True).reshape(-1, h.shape[-1])
+
+    sums = segment_sum(h, plan_b.cluster_local, C + 1,
+                       indices_are_sorted=False)[:C]
+    local_summary = sums * plan_b.cluster_scale[:, None].astype(h.dtype)
+    # nested single-axis gathers (multi-axis tiled all_gather has no VJP);
+    # row order: shard p = host·D + chip contributes rows [p·C, (p+1)·C)
+    summaries = jax.lax.all_gather(local_summary, CHIP_AXIS, tiled=True)
+    summaries = jax.lax.all_gather(summaries, HOST_AXIS, tiled=True)
+
+    # --- interior aggregation (overlaps the collectives) ----------------
+    out = segment_sum(
+        h[plan_b.int_senders] * plan_b.int_weights[:, None].astype(h.dtype),
+        plan_b.int_receivers, n_loc)
+
+    # --- fold in boundary + summary contributions -----------------------
+    out = out + segment_sum(
+        halo[plan_b.halo_senders]
+        * plan_b.halo_weights[:, None].astype(h.dtype),
+        plan_b.halo_receivers, n_loc)
+    out = out + segment_sum(
+        summaries[plan_b.sum_senders]
+        * plan_b.sum_weights[:, None].astype(h.dtype),
+        plan_b.sum_receivers, n_loc)
+    return out
+
+
+class HierGCNConv(nn.Module):
+    """GCN layer over a ``HierPlan`` — param tree matches ``DistGCNConv``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x_local, plan_b: HierPlan):
+        h = nn.Dense(self.features, use_bias=False, name="lin")(x_local)
+        out = hier_aggregate(h, plan_b)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), x_local.dtype)
+        return out + bias
+
+
+class HierNodeModel(nn.Module):
+    """GCN node model over the hierarchical plan; param tree mirrors
+    ``DistNodeModel`` ({"convs": {"GCNConv_i": ...}, "head"})."""
+
+    hidden: int
+    num_layers: int
+    out_dim: int
+    classify: bool = True
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x_local, plan_b: HierPlan, *, train: bool = False):
+        class _Stack(nn.Module):
+            hidden: int
+            num_layers: int
+            dropout_rate: float
+
+            @nn.compact
+            def __call__(self, x, *, train=False):
+                for i in range(self.num_layers):
+                    x = HierGCNConv(self.hidden, name=f"GCNConv_{i}")(
+                        x, plan_b)
+                    x = nn.elu(x)
+                    x = nn.Dropout(self.dropout_rate,
+                                   deterministic=not train)(x)
+                return x
+
+        x = _Stack(self.hidden, self.num_layers, self.dropout_rate,
+                   name="convs")(x_local, train=train)
+        x = nn.Dense(self.out_dim, name="head")(x)
+        if self.classify:
+            return nn.log_softmax(x, axis=-1)
+        return x
+
+
+def make_hier_mesh(num_hosts: int, chips_per_host: int,
+                   devices=None) -> "jax.sharding.Mesh":
+    from jax.sharding import Mesh
+    devices = devices if devices is not None else jax.devices()
+    P = num_hosts * chips_per_host
+    if len(devices) < P:
+        raise ValueError(f"need {P} devices, have {len(devices)}")
+    arr = np.array(devices[:P]).reshape(num_hosts, chips_per_host)
+    return Mesh(arr, (HOST_AXIS, CHIP_AXIS))
+
+
+def make_hier_train_step(mesh, model: HierNodeModel, plan: HierPlan):
+    """(state, x, y, mask, plan, rng) → (state, loss): same psum'd-GD
+    semantics as ``make_dist_train_step`` over the 2-D mesh."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    SH = P((HOST_AXIS, CHIP_AXIS))
+    plan_spec = jax.tree_util.tree_map(lambda _: SH, plan)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), SH, SH, SH, plan_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def step(state, xb, yb, mb, plan_b: HierPlan, rng):
+        x = xb[0]
+        y, m = yb[0], mb[0]
+        pb = jax.tree_util.tree_map(lambda a: a[0], plan_b)
+
+        def loss_fn(params):
+            out = model.apply(params, x, pb, train=True,
+                              rngs={"dropout": rng})
+            picked = jnp.take_along_axis(
+                out, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            mf = m.astype(out.dtype)
+            local_sum = jnp.sum(-picked * mf)
+            cnt = jax.lax.psum(jnp.sum(mf), (HOST_AXIS, CHIP_AXIS))
+            return local_sum / jnp.maximum(cnt, 1.0)
+
+        local_loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.psum(grads, (HOST_AXIS, CHIP_AXIS))
+        loss = jax.lax.psum(local_loss, (HOST_AXIS, CHIP_AXIS))
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step)
+
+
+def hier_oracle_features(x: np.ndarray, senders: np.ndarray,
+                         receivers: np.ndarray, weights: np.ndarray,
+                         num_hosts: int, chips_per_host: int,
+                         nodes_per_shard: int, cluster_of: np.ndarray,
+                         summary: str = "mean") -> np.ndarray:
+    """Single-device oracle of the hierarchical aggregation semantics:
+    ``out[r] = Σ w_e · f(s)`` where ``f(s) = x[s]`` for same-host senders and
+    the sender's cluster summary for remote-host senders.  For parity tests.
+    """
+    D = chips_per_host
+    n = x.shape[0]
+    cluster_of = np.asarray(cluster_of)
+    n_clusters = int(cluster_of.max()) + 1
+    sums = np.zeros((n_clusters, x.shape[1]), dtype=np.float64)
+    np.add.at(sums, cluster_of, x.astype(np.float64))
+    counts = np.bincount(cluster_of, minlength=n_clusters).astype(np.float64)
+    scale = (1.0 / np.maximum(counts, 1) if summary == "mean"
+             else 1.0 / np.sqrt(np.maximum(counts, 1)))
+    summaries = sums * scale[:, None]
+
+    out = np.zeros_like(x, dtype=np.float64)
+    host_of = (np.arange(n) // nodes_per_shard) // D
+    for s, r, w in zip(senders, receivers, weights):
+        feat = (x[s].astype(np.float64) if host_of[s] == host_of[r]
+                else summaries[cluster_of[s]])
+        out[r] += w * feat
+    return out.astype(x.dtype)

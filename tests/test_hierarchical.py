@@ -1,0 +1,163 @@
+"""Hierarchical halo exchange: exact parity at H=1, cluster-summary oracle
+parity at H>1, and a sharded train step on the 2-D (host × chip) CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from fitgnn_tpu.graph.build import gcn_normalize
+from fitgnn_tpu.parallel import (
+    CHIP_AXIS, HOST_AXIS, build_hier_plan, hier_aggregate,
+    hier_oracle_features, make_hier_mesh, make_hier_train_step,
+    HierNodeModel, shard_graph,
+)
+from fitgnn_tpu.train.steps import TrainState, adam_l2
+
+
+def _community_graph(n=128, comm=16, f=8, seed=0):
+    """Community-ordered graph: nodes i,i+1.. contiguous per community."""
+    rng = np.random.default_rng(seed)
+    e = n * 6
+    r = rng.integers(0, n, e)
+    intra = rng.random(e) < 0.7
+    s = np.where(intra, (r // comm) * comm + rng.integers(0, comm, e),
+                 rng.integers(0, n, e))
+    keep = s != r
+    s, r = s[keep], r[keep]
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    return x, s.astype(np.int64), r.astype(np.int64), y
+
+
+def _sharded_inputs(x, s, r, y, num_shards):
+    sg = shard_graph(x, s, r, y, num_shards)
+    return sg
+
+
+def _run_hier_aggregate(mesh, plan, sg, h_global):
+    """Run hier_aggregate under shard_map and reassemble the global result."""
+    SH = P((HOST_AXIS, CHIP_AXIS))
+    plan_spec = jax.tree_util.tree_map(lambda _: SH, plan)
+    n_loc = sg.nodes_per_shard
+    P_ = sg.num_shards
+    h_sh = jnp.asarray(h_global).reshape(P_, n_loc, -1)
+
+    @jax.jit
+    @lambda f: shard_map(f, mesh=mesh, in_specs=(SH, plan_spec),
+                         out_specs=SH, check_vma=False)
+    def agg(hb, plan_b):
+        pb = jax.tree_util.tree_map(lambda a: a[0], plan_b)
+        return hier_aggregate(hb[0], pb)[None]
+
+    out = agg(h_sh, plan)
+    return np.asarray(out).reshape(P_ * n_loc, -1)
+
+
+@pytest.fixture
+def setup():
+    x, s, r, y = _community_graph()
+    return x, s, r, y
+
+
+def _plan_from_sharded(sg, H, D, cluster_of, summary="mean"):
+    return build_hier_plan(
+        np.asarray(sg.senders), np.asarray(sg.receivers),
+        np.asarray(sg.edge_weight), H, D, sg.nodes_per_shard,
+        cluster_of, summary=summary)
+
+
+def _global_edges(sg):
+    """Recover the (global senders, global receivers, weights) edge list the
+    shards hold (padding edges have weight 0 and are dropped)."""
+    P_, n_loc = sg.num_shards, sg.nodes_per_shard
+    s = np.asarray(sg.senders).reshape(-1)
+    r = np.asarray(sg.receivers).reshape(P_, -1)
+    w = np.asarray(sg.edge_weight).reshape(-1)
+    r_glob = (r + (np.arange(P_) * n_loc)[:, None]).reshape(-1)
+    keep = w != 0
+    return s[keep], r_glob[keep], w[keep]
+
+
+class TestHierParity:
+    def test_h1_exact(self, setup):
+        """H=1: no summary edges; aggregation == dense oracle exactly."""
+        x, s, r, y = setup
+        H, D = 1, 4
+        sg = _sharded_inputs(x, s, r, y, H * D)
+        n_pad = sg.num_nodes_global
+        cluster_of = np.arange(n_pad) // 16
+        plan = _plan_from_sharded(sg, H, D, cluster_of)
+        assert float(jnp.sum(plan.sum_weights)) == 0.0  # no remote edges
+
+        mesh = make_hier_mesh(H, D)
+        gs, gr, gw = _global_edges(sg)
+        h = np.asarray(sg.x).reshape(n_pad, -1)
+        ref = np.zeros_like(h)
+        np.add.at(ref, gr, gw[:, None] * h[gs])
+        out = _run_hier_aggregate(mesh, plan, sg, h)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("summary", ["mean", "isometry"])
+    def test_h2_summary_oracle(self, setup, summary):
+        """H=2: remote-host senders approximated by cluster summaries —
+        matches the single-device oracle."""
+        x, s, r, y = setup
+        H, D = 2, 2
+        sg = _sharded_inputs(x, s, r, y, H * D)
+        n_pad = sg.num_nodes_global
+        cluster_of = np.arange(n_pad) // 8
+        plan = _plan_from_sharded(sg, H, D, cluster_of, summary=summary)
+        assert float(jnp.sum(plan.sum_weights)) > 0.0  # remote edges exist
+
+        mesh = make_hier_mesh(H, D)
+        gs, gr, gw = _global_edges(sg)
+        h = np.asarray(sg.x).reshape(n_pad, -1)
+        ref = hier_oracle_features(h, gs, gr, gw, H, D, sg.nodes_per_shard,
+                                   cluster_of, summary=summary)
+        out = _run_hier_aggregate(mesh, plan, sg, h)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_cluster_spanning_shards_rejected(self, setup):
+        x, s, r, y = setup
+        sg = _sharded_inputs(x, s, r, y, 4)
+        bad = np.zeros(sg.num_nodes_global, dtype=np.int64)  # one big cluster
+        with pytest.raises(ValueError, match="spans shards"):
+            _plan_from_sharded(sg, 2, 2, bad)
+
+
+class TestHierTrainStep:
+    def test_train_step_runs_and_reduces_loss(self, setup):
+        x, s, r, y = setup
+        H, D = 2, 2
+        sg = _sharded_inputs(x, s, r, y, H * D)
+        cluster_of = np.arange(sg.num_nodes_global) // 16
+        plan = _plan_from_sharded(sg, H, D, cluster_of)
+        mesh = make_hier_mesh(H, D)
+        model = HierNodeModel(hidden=16, num_layers=2, out_dim=3,
+                              dropout_rate=0.0)
+
+        # init params on one shard's shapes under a dummy 2-axis vmap
+        pb0 = jax.tree_util.tree_map(lambda a: a[:1], plan)
+        x0 = sg.x[:1]
+
+        def init_fn(xb, pb):
+            return model.init(jax.random.PRNGKey(0), xb, pb)
+
+        params = jax.vmap(jax.vmap(init_fn, axis_name=CHIP_AXIS),
+                          axis_name=HOST_AXIS)(
+            x0[None], jax.tree_util.tree_map(lambda a: a[None], pb0))
+        params = jax.tree_util.tree_map(lambda a: a[0, 0], params)
+        state = TrainState.create(apply_fn=model.apply, params=params,
+                                  tx=adam_l2(0.01, 0.0))
+        step = make_hier_train_step(mesh, model, plan)
+        with mesh:
+            losses = []
+            for i in range(8):
+                state, loss = step(state, sg.x, sg.y, sg.train_mask | True,
+                                   plan, jax.random.PRNGKey(i))
+                losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
