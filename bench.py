@@ -122,6 +122,8 @@ def main():
     # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact — input
     # features are constant, Â(X·W) = (Â·X)·W)
     x_pre = preaggregate_features(g)
+    if dtype is not None:
+        x_pre = x_pre.astype(dtype)   # the bf16 stack consumes it directly
     x_pre.block_until_ready()
     g = g._replace(x=x_pre)
     state = create_state(model, jax.random.PRNGKey(0), g.x, g)

@@ -420,21 +420,63 @@ def load_qm9_sdf(root: str, max_molecules: Optional[int] = None
 # OGB node-property raw format (ogbn-arxiv / ogbn-products / ogbn-proteins)
 # ---------------------------------------------------------------------------
 
+def _read_csv_gz(path: str, dtype) -> np.ndarray:
+    """Fast csv.gz reader (pandas C engine — ``np.loadtxt`` takes hours on
+    the 2.4M-row products-scale files)."""
+    import pandas as pd
+    return pd.read_csv(path, header=None).to_numpy(dtype=dtype)
+
+
 def load_ogbn(root: str, name: str) -> NodeDataset:
     """Parse the extracted OGB layout: ``raw/node-feat.csv.gz``,
     ``raw/edge.csv.gz``, ``raw/node-label.csv.gz`` and the official split
-    index files under ``split/*/{train,valid,test}.csv.gz``."""
+    index files under ``split/*/{train,valid,test}.csv.gz``.
+
+    ogbn-proteins ships no node features (the reference feeds the PyG
+    dataset whose ``x`` is None, ``main.py:65-68``); node features are then
+    synthesized from the mean of incident edge features
+    (``raw/edge-feat.csv.gz``) or a species one-hot
+    (``raw/node_species.csv.gz``)."""
     base = os.path.join(root, name)
     raw = os.path.join(base, "raw")
     feat_p = os.path.join(raw, "node-feat.csv.gz")
     edge_p = os.path.join(raw, "edge.csv.gz")
     label_p = os.path.join(raw, "node-label.csv.gz")
-    if not (os.path.exists(feat_p) and os.path.exists(edge_p)):
-        raise _missing(name, raw, "OGB node-feat/edge csv.gz files")
-    x = np.loadtxt(feat_p, delimiter=",", dtype=np.float32)
-    edges = np.loadtxt(edge_p, delimiter=",", dtype=np.int64)
-    y = (np.loadtxt(label_p, delimiter=",", dtype=np.int64)
-         if os.path.exists(label_p) else np.zeros(x.shape[0], np.int64))
+    if not os.path.exists(edge_p):
+        raise _missing(name, raw, "OGB edge.csv.gz file")
+    edges = _read_csv_gz(edge_p, np.int64)
+    y = (_read_csv_gz(label_p, np.int64)
+         if os.path.exists(label_p) else None)
+
+    if os.path.exists(feat_p):
+        x = _read_csv_gz(feat_p, np.float32)
+    else:
+        n_nodes = int(edges.max()) + 1 if y is None else max(
+            int(edges.max()) + 1, len(y))
+        efeat_p = os.path.join(raw, "edge-feat.csv.gz")
+        species_p = os.path.join(raw, "node_species.csv.gz")
+        if os.path.exists(efeat_p):
+            ef = _read_csv_gz(efeat_p, np.float32)
+            sums = np.zeros((n_nodes, ef.shape[1]), dtype=np.float64)
+            deg = np.bincount(edges[:, 0], minlength=n_nodes) \
+                + np.bincount(edges[:, 1], minlength=n_nodes)
+            for d in range(ef.shape[1]):
+                sums[:, d] = (
+                    np.bincount(edges[:, 0], weights=ef[:, d],
+                                minlength=n_nodes)
+                    + np.bincount(edges[:, 1], weights=ef[:, d],
+                                  minlength=n_nodes))
+            x = (sums / np.maximum(deg, 1)[:, None]).astype(np.float32)
+        elif os.path.exists(species_p):
+            sp_ = _read_csv_gz(species_p, np.int64).reshape(-1)
+            _, inv = np.unique(sp_, return_inverse=True)
+            x = np.eye(int(inv.max()) + 1, dtype=np.float32)[inv]
+        else:
+            raise _missing(name, raw,
+                           "node-feat, edge-feat, or node_species csv.gz")
+
+    if y is None:
+        y = np.zeros(x.shape[0], np.int64)
     if y.ndim > 1 and y.shape[1] == 1:
         y = y[:, 0]
 
@@ -449,7 +491,7 @@ def load_ogbn(root: str, name: str) -> NodeDataset:
                                ("test", "test_mask")):
                 p = os.path.join(sdir, f"{part}.csv.gz")
                 if os.path.exists(p):
-                    idx = np.loadtxt(p, dtype=np.int64).reshape(-1)
+                    idx = _read_csv_gz(p, np.int64).reshape(-1)
                     m = np.zeros(n, dtype=bool)
                     m[idx] = True
                     masks[attr] = m

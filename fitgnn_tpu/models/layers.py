@@ -73,7 +73,9 @@ class GATConv(nn.Module):
         a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (h_, c))
         score_src = jnp.sum(h * a_src, axis=-1)          # (N, H)
         score_dst = jnp.sum(h * a_dst, axis=-1)          # (N, H)
-        e = score_src[g.senders] + score_dst[g.receivers]  # (E, H)
+        from fitgnn_tpu.ops.sddmm import gather_concat_score
+        e = gather_concat_score(g.senders, g.receivers,
+                                score_src, score_dst)    # (E, H)
         e = nn.leaky_relu(e, negative_slope=self.negative_slope)
         alpha = segment_softmax(e, g.receivers, n, mask=g.edge_mask)  # (E, H)
         msg = h[g.senders] * alpha[..., None]            # (E, H, C)

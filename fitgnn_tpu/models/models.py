@@ -95,10 +95,13 @@ class NodeModel(nn.Module):
                       dtype=self.dtype, dropout_rate=self.dropout_rate,
                       first_layer_preaggregated=self.first_layer_preaggregated,
                       name="convs")(x, g, train=train)
-        x = nn.Dense(self.out_dim, name="head")(x.astype(jnp.float32))
+        # head runs in the stack's compute dtype (casting the wide features
+        # up would move 2·N·H f32 bytes); only the narrow logits are promoted
+        # for a numerically safe log_softmax
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="head")(x)
         if self.classify:
-            return nn.log_softmax(x, axis=-1)
-        return x
+            return nn.log_softmax(x.astype(jnp.float32), axis=-1)
+        return x.astype(jnp.float32)
 
 
 def preaggregate_features(g: Graph) -> jnp.ndarray:

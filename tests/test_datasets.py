@@ -180,3 +180,62 @@ class TestNpzCache:
         save_npz_cache(str(d / "cora.npz"), ds)
         back = load_node_dataset("cora", str(tmp_path))
         assert back.x.shape == (3, 2)
+
+
+class TestOgbnProteins:
+    def test_edge_featured_no_node_feat(self, tmp_path):
+        """ogbn-proteins layout: no node-feat.csv.gz — node features are
+        synthesized from the mean of incident edge features."""
+        import gzip
+        raw = tmp_path / "ogbn-proteins" / "raw"
+        raw.mkdir(parents=True)
+
+        def gz(name, text):
+            with gzip.open(str(raw / name), "wt") as f:
+                f.write(text)
+
+        gz("edge.csv.gz", "0,1\n1,2\n")
+        gz("edge-feat.csv.gz", "1.0,3.0\n2.0,4.0\n")
+        gz("node-label.csv.gz", "1,0\n0,1\n1,1\n")
+        from fitgnn_tpu.data.datasets import load_ogbn
+        ds = load_ogbn(str(tmp_path), "ogbn-proteins")
+        assert ds.x.shape == (3, 2)
+        # node 1 touches both edges: mean = ((1,3)+(2,4))/2
+        np.testing.assert_allclose(ds.x[1], [1.5, 3.5])
+        np.testing.assert_allclose(ds.x[0], [1.0, 3.0])
+        assert ds.y.shape == (3, 2)    # multi-task labels stay 2-D
+
+    def test_species_fallback(self, tmp_path):
+        import gzip
+        raw = tmp_path / "ogbn-proteins" / "raw"
+        raw.mkdir(parents=True)
+        with gzip.open(str(raw / "edge.csv.gz"), "wt") as f:
+            f.write("0,1\n1,2\n")
+        with gzip.open(str(raw / "node_species.csv.gz"), "wt") as f:
+            f.write("9606\n9606\n3702\n")
+        from fitgnn_tpu.data.datasets import load_ogbn
+        ds = load_ogbn(str(tmp_path), "ogbn-proteins")
+        assert ds.x.shape == (3, 2)    # two species -> one-hot width 2
+        assert ds.x[0, 1] == 1.0 and ds.x[2, 0] == 1.0
+
+
+class TestLobpcgFallback:
+    def test_matches_arpack(self):
+        import scipy.sparse as sp
+        from fitgnn_tpu.coarsen.lapgraph import LapGraph
+        from fitgnn_tpu.coarsen.spectral import bottom_k_eigen
+        rng = np.random.default_rng(1)
+        n = 3000
+        r = rng.integers(0, n, n * 5)
+        s = np.where(rng.random(n * 5) < 0.8,
+                     (r // 50) * 50 + rng.integers(0, 50, n * 5),
+                     rng.integers(0, n, n * 5))
+        keep = s != r
+        W = sp.csr_matrix((np.ones(keep.sum()), (s[keep], r[keep])),
+                          shape=(n, n))
+        W = W + W.T
+        W.data[:] = 1.0
+        g = LapGraph(W)
+        l_a, _ = bottom_k_eigen(g, 8, method="arpack")
+        l_l, _ = bottom_k_eigen(g, 8, method="lobpcg")
+        np.testing.assert_allclose(l_l, l_a, rtol=1e-3, atol=1e-4)

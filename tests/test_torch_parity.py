@@ -117,3 +117,75 @@ class TestTorchParity:
         h = torch.relu(h @ torch.tensor(np.asarray(p["mlp_1"]["kernel"]))
                        + torch.tensor(np.asarray(p["mlp_1"]["bias"])))
         np.testing.assert_allclose(ours, h.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_gat_layer_activations_and_attention(self, rng):
+        """GAT parity: attention coefficients AND output vs a from-scratch
+        torch implementation of PyG GATConv semantics (additive attention,
+        LeakyReLU(0.2), softmax over incoming edges incl. self loops)."""
+        from fitgnn_tpu.models import GATConv
+        from fitgnn_tpu.ops.sddmm import gather_concat_score
+        from fitgnn_tpu.ops.segment import segment_softmax
+
+        x, s, r = graph_fixture(rng)
+        heads, c = 2, 6
+        g = build_graph(x, s, r, normalize=False)
+        layer = GATConv(features=c, heads=heads)
+        params = layer.init(jax.random.PRNGKey(4), g.x, g)
+        ours = np.asarray(layer.apply(params, g.x, g))[: x.shape[0]]
+
+        p = params["params"]
+        n = x.shape[0]
+        w = torch.tensor(np.asarray(p["lin"]["kernel"]))       # (F, H*C)
+        a_src = torch.tensor(np.asarray(p["att_src"]))         # (H, C)
+        a_dst = torch.tensor(np.asarray(p["att_dst"]))
+        bias = torch.tensor(np.asarray(p["bias"]))
+
+        # undirected edge set + self loops, matching build_graph
+        es, er = [], []
+        for u, v in zip(s, r):
+            es += [u, v]
+            er += [v, u]
+        es += list(range(n))
+        er += list(range(n))
+        es, er = torch.tensor(es), torch.tensor(er)
+
+        h = (torch.tensor(x) @ w).reshape(n, heads, c)
+        score_src = (h * a_src).sum(-1)                        # (N, H)
+        score_dst = (h * a_dst).sum(-1)
+        e = torch.nn.functional.leaky_relu(
+            score_src[es] + score_dst[er], negative_slope=0.2)  # (E, H)
+        alpha = torch.zeros_like(e)
+        out = torch.zeros(n, heads, c)
+        for head in range(heads):
+            for node in range(n):
+                sel = er == node
+                a_ = torch.softmax(e[sel, head], dim=0)
+                alpha[sel, head] = a_
+                out[node, head] = (a_[:, None] * h[es[sel], head]).sum(0)
+        ref = out.reshape(n, heads * c) + bias
+
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4, atol=1e-5)
+
+        # attention-coefficient parity on the framework's own edge order
+        score_src_j = jnp.sum(
+            jnp.asarray(np.asarray(h.numpy())) * jnp.asarray(a_src.numpy()),
+            axis=-1)
+        score_dst_j = jnp.sum(
+            jnp.asarray(np.asarray(h.numpy())) * jnp.asarray(a_dst.numpy()),
+            axis=-1)
+        ej = gather_concat_score(g.senders, g.receivers,
+                                 score_src_j, score_dst_j)
+        ej = jax.nn.leaky_relu(ej, negative_slope=0.2)
+        alpha_ours = segment_softmax(ej, g.receivers, g.num_nodes_padded,
+                                     mask=g.edge_mask)
+        # compare per-edge against the torch coefficients via an edge map
+        torch_alpha = {}
+        for i in range(len(es)):
+            torch_alpha[(int(es[i]), int(er[i]))] = alpha[i].numpy()
+        gs_, gr_ = np.asarray(g.senders), np.asarray(g.receivers)
+        ne = int(g.n_edge)
+        for i in range(ne):
+            np.testing.assert_allclose(
+                np.asarray(alpha_ours)[i],
+                torch_alpha[(int(gs_[i]), int(gr_[i]))],
+                rtol=1e-4, atol=1e-5)
