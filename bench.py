@@ -96,7 +96,8 @@ def main():
                        np.asarray(g.receivers, dtype=np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
                        min_block_edges=BENCH_TILE_THRESHOLD,
-                       tile_dtype=tile_dtype)
+                       tile_dtype=tile_dtype,
+                       use_segmm=os.environ.get("FITGNN_BENCH_SEGMM") == "1")
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)

@@ -40,6 +40,8 @@ class HybridSpmm:
     t_receivers: jnp.ndarray           # receiver-sorted in transpose space
     t_weights: jnp.ndarray
     num_nodes: int = flax.struct.field(pytree_node=False)
+    segmm: Optional[object] = None     # ops.pallas.coo_segmm.SegMM — MXU
+    t_segmm: Optional[object] = None   # scatter path for the stragglers
 
     @property
     def num_coo_edges(self) -> int:
@@ -49,7 +51,8 @@ class HybridSpmm:
 def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  weight: np.ndarray, num_nodes_padded: int,
                  min_block_edges: int = 150,
-                 block: int = BLOCK, tile_dtype=None) -> HybridSpmm:
+                 block: int = BLOCK, tile_dtype=None,
+                 use_segmm: bool = False) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
@@ -84,13 +87,24 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     s_f, r_f, w_f = sorted_by(cr, cs, cr, cw)
     # transpose: roles swap; sort by the transpose's receiver (= sender)
     s_t, r_t, w_t = sorted_by(cs, cr, cs, cw)
+    segmm = t_segmm = None
+    if use_segmm:
+        from fitgnn_tpu.ops.pallas.coo_segmm import build_segmm
+        segmm = build_segmm(np.asarray(s_f), np.asarray(r_f),
+                            np.asarray(w_f), num_nodes_padded)
+        t_segmm = build_segmm(np.asarray(s_t), np.asarray(r_t),
+                              np.asarray(w_t), num_nodes_padded)
     return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
                       t_senders=s_t, t_receivers=r_t, t_weights=w_t,
-                      num_nodes=num_nodes_padded)
+                      num_nodes=num_nodes_padded,
+                      segmm=segmm, t_segmm=t_segmm)
 
 
 @jax.custom_vjp
 def _coo_part(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    if h.segmm is not None:
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_spmm
+        return segmm_spmm(h.segmm, x)
     return spmm_coo(h.weights, h.senders, h.receivers, x, h.num_nodes)
 
 
@@ -101,6 +115,9 @@ def _coo_part_fwd(h, x):
 def _coo_part_bwd(h, g):
     # dx = Aᵀ·g through the pre-sorted transpose edge list: both the gather
     # and the scatter stay sorted (autodiff would emit an unsorted scatter)
+    if h.t_segmm is not None:
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_spmm
+        return None, segmm_spmm(h.t_segmm, g)
     dx = spmm_coo(h.t_weights, h.t_senders, h.t_receivers, g, h.num_nodes)
     return None, dx
 

@@ -75,6 +75,17 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     if k == 0:
         rows = np.zeros(1, dtype=np.int32)
         cols = np.zeros(1, dtype=np.int32)
+    # every row block needs ≥1 tile: a grid that never visits a row block
+    # leaves its out tile UNINITIALIZED (out buffers are not zeroed) —
+    # append zero tiles for uncovered rows and keep rows sorted
+    missing = np.setdiff1d(np.arange(nb, dtype=np.int32), rows)
+    if missing.size:
+        blocks = np.concatenate(
+            [blocks, np.zeros((missing.size, block, block), dtype=dtype)])
+        rows = np.concatenate([rows, missing])
+        cols = np.concatenate([cols, np.zeros(missing.size, np.int32)])
+        order = np.argsort(rows, kind="stable")
+        blocks, rows, cols = blocks[order], rows[order], cols[order]
     t = None
     if with_transpose:
         t = build_bsr(receivers, senders, weight, num_nodes_padded, block,

@@ -1,0 +1,167 @@
+"""Selector-matmul segment-sum: the straggler COO scatter on the MXU.
+
+The hybrid operator's straggler edges are irreducibly scattered (~1 edge per
+128×128 tile after community reordering), so their aggregation is a random
+row-gather plus a sorted segment-sum.  XLA's scatter loop read-modify-writes
+the output row per edge; this kernel replaces that with dense MXU work:
+
+* edges (receiver-sorted) are chunked, each chunk padded to ``CHUNK`` edges
+  and assigned to ONE 128-row output block;
+* the gather ``y = x[senders]`` stays an XLA op (it is row-rate-bound either
+  way) and streams into the kernel as (CHUNK, F) blocks;
+* in-kernel, a (128, CHUNK) selector holding ``w[e]`` at
+  ``(r_local[e], e)`` is built from an iota compare and multiplied on the
+  MXU; consecutive chunks of one output block accumulate in a VMEM-resident
+  out tile (same revisit pattern as the BCSR kernel, with the chunk→block
+  map scalar-prefetched).
+
+This is the "fuse stragglers via scalar-prefetched edge lists" path
+(reference hot loop #1's tail, SURVEY §3 / ROADMAP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import flax.struct
+
+BLOCK = 128
+CHUNK = 128
+
+
+@flax.struct.dataclass
+class SegMM:
+    """Chunked straggler-edge structure (receiver-sorted, block-aligned)."""
+
+    block_ids: jnp.ndarray     # (num_chunks,) int32 out-block per chunk,
+                               #   sorted ascending (scalar-prefetched)
+    senders: jnp.ndarray       # (E_pad,) int32 — drives the XLA gather
+    r_local: jnp.ndarray       # (num_chunks, CHUNK) int32 receiver % BLOCK
+    weights: jnp.ndarray       # (num_chunks, CHUNK) f32; 0 on padding
+    num_nodes: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_chunks(self) -> int:
+        return self.block_ids.shape[0]
+
+    @property
+    def num_edges_padded(self) -> int:
+        return self.senders.shape[0]
+
+
+def build_segmm(senders: np.ndarray, receivers: np.ndarray,
+                weight: np.ndarray, num_nodes_padded: int,
+                chunk: int = CHUNK) -> SegMM:
+    """Host-side build from a RECEIVER-SORTED COO edge list."""
+    assert num_nodes_padded % BLOCK == 0
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float32)
+    assert (np.diff(receivers) >= 0).all(), "receivers must be sorted"
+
+    rb = receivers // BLOCK
+    blocks, counts = np.unique(rb, return_counts=True)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+
+    # every output block needs ≥1 chunk: a grid that never visits a block
+    # leaves its out tile UNINITIALIZED (the out buffer is not zeroed)
+    covered = set(int(b) for b in blocks)
+    all_blocks = num_nodes_padded // BLOCK
+
+    s_chunks, r_chunks, w_chunks, bids = [], [], [], []
+    bi = 0
+    for b in range(all_blocks):
+        if b in covered:
+            lo, hi = bounds[bi], bounds[bi + 1]
+            bi += 1
+            e = hi - lo
+            n_ch = -(-e // chunk)
+            pad = n_ch * chunk - e
+            s = np.concatenate([senders[lo:hi],
+                                np.full(pad, senders[hi - 1])])  # dup row
+            r = np.concatenate([receivers[lo:hi] % BLOCK,
+                                np.zeros(pad, np.int64)])
+            w = np.concatenate([weight[lo:hi], np.zeros(pad, np.float32)])
+        else:   # zero-weight filler chunk: writes the block's zeros
+            s = np.zeros(chunk, np.int64)
+            r = np.zeros(chunk, np.int64)
+            w = np.zeros(chunk, np.float32)
+            n_ch = 1
+        s_chunks.append(s)
+        r_chunks.append(r)
+        w_chunks.append(w)
+        bids.extend([b] * n_ch)
+
+    s_all = np.concatenate(s_chunks)
+    return SegMM(
+        block_ids=jnp.asarray(np.asarray(bids, dtype=np.int32)),
+        senders=jnp.asarray(s_all, dtype=jnp.int32),
+        r_local=jnp.asarray(
+            np.concatenate(r_chunks).reshape(-1, chunk).astype(np.int32)),
+        weights=jnp.asarray(
+            np.concatenate(w_chunks).reshape(-1, chunk).astype(np.float32)),
+        num_nodes=num_nodes_padded)
+
+
+def _kernel(block_ids_ref, rloc_ref, w_ref, y_ref, o_ref):
+    k = pl.program_id(0)
+    blk = block_ids_ref[k]
+    prev = block_ids_ref[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, blk != prev))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    rloc = rloc_ref[0]                         # (CHUNK,)
+    w = w_ref[0]                               # (CHUNK,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rloc.shape[0]), 0)
+    sel = jnp.where(rows == rloc[None, :], w[None, :], 0.0)
+    y = y_ref[:]                               # (CHUNK, F)
+    if y.dtype == jnp.bfloat16:
+        sel = sel.astype(jnp.bfloat16)
+    o_ref[:] += jnp.dot(sel, y,
+                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
+def _segmm_scatter(block_ids, r_local, weights, y, num_nodes,
+                   interpret=False):
+    """out = scatter-add of (chunked) y rows into their out blocks."""
+    n_chunks, chunk = r_local.shape
+    feat = y.shape[-1]
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, chunk), lambda k, bids: (k, 0)),
+                pl.BlockSpec((1, chunk), lambda k, bids: (k, 0)),
+                pl.BlockSpec((chunk, feat), lambda k, bids: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK, feat),
+                                   lambda k, bids: (bids[k], 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_nodes, feat), y.dtype),
+        interpret=interpret,
+    )(block_ids, r_local, weights, y)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def segmm_spmm(m: SegMM, x: jnp.ndarray) -> jnp.ndarray:
+    """out = A·x for the straggler edges (gather in XLA, scatter on MXU)."""
+    y = x[m.senders].reshape(m.r_local.shape[0], m.r_local.shape[1],
+                             x.shape[-1])
+    # feed chunks as a flat (E_pad, F) stream; BlockSpec slices per chunk
+    y = y.reshape(-1, x.shape[-1])
+    return _segmm_scatter(m.block_ids, m.r_local, m.weights, y, m.num_nodes,
+                          interpret=_use_interpret())

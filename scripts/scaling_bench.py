@@ -53,8 +53,13 @@ def main():
     snd, rcv = snd[keep], rcv[keep]
     train, val, test = splits_classification(y, 8, "ogbn_split", seed=0)
 
+    from fitgnn_tpu.parallel import (DistNodeModelHalo, build_halo_plan,
+                                     make_halo_train_step)
+
     labels = leiden_communities(snd, rcv, n, seed=0)
-    base = None
+    base = {}
+    print("per-layer collective traffic per device (the scaling-relevant "
+          "quantity; CPU-mesh wall-clock is core-contention-bound):")
     for p in args.devices:
         if p > len(jax.devices()):
             print(f"skip P={p}: only {len(jax.devices())} devices",
@@ -65,21 +70,46 @@ def main():
         sg = shard_graph(x, snd, rcv, y, p, train_mask=train, order=order)
         model = DistNodeModel(hidden=args.hidden, num_layers=2, out_dim=8)
         state = create_dist_state(model, jax.random.PRNGKey(0), sg)
-        step = make_dist_train_step(mesh, model)
-        with mesh:
-            state, loss = step(state, sg, jax.random.PRNGKey(1))
-            _ = float(loss)
-            t0 = time.perf_counter()
-            for i in range(args.steps):
-                state, loss = step(state, sg, jax.random.PRNGKey(2 + i))
-            _ = float(loss)
-            dt = (time.perf_counter() - t0) / args.steps
-        eps = len(snd) * 2 / dt
-        if base is None:
-            base = eps
-        eff = eps / (base * p)
-        print(f"P={p}: {dt*1e3:8.1f} ms/step  {eps/1e6:8.2f} M edges/s  "
-              f"efficiency {eff*100:5.1f}%")
+        plan = build_halo_plan(np.asarray(sg.senders),
+                               np.asarray(sg.receivers),
+                               np.asarray(sg.edge_weight), p,
+                               sg.nodes_per_shard)
+        halo_model = DistNodeModelHalo(hidden=args.hidden, num_layers=2,
+                                       out_dim=8)
+
+        gather_mb = sg.num_nodes_global * args.hidden * 4 / 1e6
+        halo_mb = p * plan.k * args.hidden * 4 / 1e6
+        cut = float(np.asarray(plan.send_mask).sum())
+
+        rows = {}
+        for name, st in (
+            ("all-gather", make_dist_train_step(mesh, model)),
+            ("halo", make_halo_train_step(mesh, halo_model, plan)),
+        ):
+            with mesh:
+                if name == "all-gather":
+                    args_ = (sg, )
+                    run = lambda key: st(state, sg, key)  # noqa: E731
+                else:
+                    run = lambda key: st(state, sg.x, sg.y,  # noqa: E731
+                                         sg.train_mask, plan, key)
+                _, loss = run(jax.random.PRNGKey(1))
+                _ = float(loss)
+                t0 = time.perf_counter()
+                for i in range(args.steps):
+                    _, loss = run(jax.random.PRNGKey(2 + i))
+                _ = float(loss)
+                dt = (time.perf_counter() - t0) / args.steps
+            eps = len(snd) * 2 / dt
+            base.setdefault(name, eps)
+            eff = eps / (base[name] * p)
+            rows[name] = (dt, eps, eff)
+        ag = rows["all-gather"]
+        ha = rows["halo"]
+        print(f"P={p}: all-gather {ag[0]*1e3:7.1f} ms  {ag[1]/1e6:7.2f} Me/s "
+              f"(recv {gather_mb:7.2f} MB/dev/layer) | "
+              f"halo {ha[0]*1e3:7.1f} ms  {ha[1]/1e6:7.2f} Me/s "
+              f"(recv {halo_mb:7.2f} MB/dev/layer, {int(cut)} boundary rows)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,63 @@
+"""Selector-matmul straggler scatter: parity vs the COO segment-sum path
+(interpret mode on CPU) through the kernel, the hybrid operator, and grads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fitgnn_tpu.ops.hybrid_spmm import build_hybrid, hybrid_spmm
+from fitgnn_tpu.ops.pallas.coo_segmm import build_segmm, segmm_spmm
+from fitgnn_tpu.ops.spmm import spmm_coo
+
+
+def _edges(rng, n, e):
+    s = rng.integers(0, n, e, dtype=np.int64)
+    r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+    w = rng.random(e).astype(np.float32)
+    return s, r, w
+
+
+class TestSegMM:
+    def test_matches_segment_sum(self):
+        rng = np.random.default_rng(0)
+        n, e, f = 512, 700, 64
+        s, r, w = _edges(rng, n, e)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        m = build_segmm(s, r, w, n)
+        out = segmm_spmm(m, x)
+        ref = spmm_coo(jnp.asarray(w), jnp.asarray(s, dtype=jnp.int32),
+                       jnp.asarray(r, dtype=jnp.int32), x, n)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_empty_edges(self):
+        m = build_segmm(np.empty(0, np.int64), np.empty(0, np.int64),
+                        np.empty(0, np.float32), 256)
+        x = jnp.ones((256, 32), dtype=jnp.float32)
+        out = segmm_spmm(m, x)
+        assert float(jnp.abs(out).sum()) == 0.0
+
+    def test_hybrid_with_segmm_forward_and_grad(self):
+        rng = np.random.default_rng(1)
+        n, e, f = 640, 4000, 32
+        # community edges so some tiles go dense, plus a scattered tail
+        r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+        s = np.where(rng.random(e) < 0.7,
+                     (r // 128) * 128 + rng.integers(0, 128, e),
+                     rng.integers(0, n, e, dtype=np.int64))
+        w = rng.random(e).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+        hyb = build_hybrid(s, r, w, n, min_block_edges=40)
+        hyb_k = build_hybrid(s, r, w, n, min_block_edges=40, use_segmm=True)
+        assert hyb_k.segmm is not None and hyb_k.t_segmm is not None
+
+        ref = hybrid_spmm(hyb, x)
+        out = hybrid_spmm(hyb_k, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+        g_ref = jax.grad(lambda xx: jnp.sum(hybrid_spmm(hyb, xx) ** 2))(x)
+        g_out = jax.grad(lambda xx: jnp.sum(hybrid_spmm(hyb_k, xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)

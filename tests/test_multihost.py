@@ -1,0 +1,68 @@
+"""Multi-host scaffolding: jax.distributed loopback smoke (single-process
+coordinator on localhost) and community→shard placement invariants."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from fitgnn_tpu.parallel.multihost import placement_by_community
+
+_LOOPBACK_PROG = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:%d",
+                           num_processes=1, process_id=0)
+assert jax.process_count() == 1 and jax.process_index() == 0
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+import functools, jax.numpy as jnp
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+
+@functools.partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+def total(x):
+    return jax.lax.psum(jnp.sum(x), "data")
+
+out = float(total(jnp.arange(float(8 * len(jax.devices())))))
+expected = sum(range(8 * len(jax.devices())))
+assert out == expected, (out, expected)
+jax.distributed.shutdown()
+print("loopback-ok", out)
+"""
+
+
+class TestDistributedLoopback:
+    def test_single_process_coordinator(self):
+        """jax.distributed.initialize over a localhost coordinator, then a
+        psum over the virtual device mesh — run in a subprocess because the
+        test process's JAX is already initialized."""
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        proc = subprocess.run(
+            [sys.executable, "-c", _LOOPBACK_PROG % port],
+            capture_output=True, text=True, timeout=240, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "loopback-ok" in proc.stdout
+
+
+class TestPlacement:
+    def test_contiguous_and_balanced(self):
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 40, 4000)
+        order, shard_of = placement_by_community(labels, 8)
+        # contiguity: sorted by shard after permutation
+        assert (np.diff(shard_of[order]) >= 0).all()
+        # communities stay whole
+        for c in np.unique(labels):
+            assert len(np.unique(shard_of[labels == c])) == 1
+        # balance: no shard more than 50% above the mean
+        loads = np.bincount(shard_of, minlength=8)
+        assert loads.max() <= loads.mean() * 1.5
