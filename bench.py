@@ -40,7 +40,7 @@ AVG_DEGREE = 7
 NUM_FEATURES = 128
 HIDDEN = 512
 NUM_CLASSES = 40
-STEPS = 8
+STEPS = int(os.environ.get("FITGNN_BENCH_STEPS", "8"))
 INTERNAL = 0.85              # fraction of edges inside a community
 
 

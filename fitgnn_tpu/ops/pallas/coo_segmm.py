@@ -42,8 +42,10 @@ class SegMM:
     block_ids: jnp.ndarray     # (num_chunks,) int32 out-block per chunk,
                                #   sorted ascending (scalar-prefetched)
     senders: jnp.ndarray       # (E_pad,) int32 — drives the XLA gather
-    r_local: jnp.ndarray       # (num_chunks, CHUNK) int32 receiver % BLOCK
-    weights: jnp.ndarray       # (num_chunks, CHUNK) f32; 0 on padding
+    aux: jnp.ndarray           # (num_chunks, 8, CHUNK) f32 — row 0 holds
+                               #   receiver % BLOCK, row 1 the edge weight
+                               #   (packed into one (8,128)-tileable block;
+                               #   rows 2..7 are padding)
     num_nodes: int = flax.struct.field(pytree_node=False)
 
     @property
@@ -99,17 +101,18 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
         bids.extend([b] * n_ch)
 
     s_all = np.concatenate(s_chunks)
+    n_chunks = len(bids)
+    aux = np.zeros((n_chunks, 8, chunk), dtype=np.float32)
+    aux[:, 0, :] = np.concatenate(r_chunks).reshape(n_chunks, chunk)
+    aux[:, 1, :] = np.concatenate(w_chunks).reshape(n_chunks, chunk)
     return SegMM(
         block_ids=jnp.asarray(np.asarray(bids, dtype=np.int32)),
         senders=jnp.asarray(s_all, dtype=jnp.int32),
-        r_local=jnp.asarray(
-            np.concatenate(r_chunks).reshape(-1, chunk).astype(np.int32)),
-        weights=jnp.asarray(
-            np.concatenate(w_chunks).reshape(-1, chunk).astype(np.float32)),
+        aux=jnp.asarray(aux),
         num_nodes=num_nodes_padded)
 
 
-def _kernel(block_ids_ref, rloc_ref, w_ref, y_ref, o_ref):
+def _kernel(block_ids_ref, aux_ref, y_ref, o_ref):
     k = pl.program_id(0)
     blk = block_ids_ref[k]
     prev = block_ids_ref[jnp.maximum(k - 1, 0)]
@@ -118,8 +121,8 @@ def _kernel(block_ids_ref, rloc_ref, w_ref, y_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    rloc = rloc_ref[0]                         # (CHUNK,)
-    w = w_ref[0]                               # (CHUNK,)
+    rloc = aux_ref[0, 0].astype(jnp.int32)     # (CHUNK,)
+    w = aux_ref[0, 1]                          # (CHUNK,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rloc.shape[0]), 0)
     sel = jnp.where(rows == rloc[None, :], w[None, :], 0.0)
     y = y_ref[:]                               # (CHUNK, F)
@@ -130,10 +133,9 @@ def _kernel(block_ids_ref, rloc_ref, w_ref, y_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _segmm_scatter(block_ids, r_local, weights, y, num_nodes,
-                   interpret=False):
+def _segmm_scatter(block_ids, aux, y, num_nodes, interpret=False):
     """out = scatter-add of (chunked) y rows into their out blocks."""
-    n_chunks, chunk = r_local.shape
+    n_chunks, _, chunk = aux.shape
     feat = y.shape[-1]
     return pl.pallas_call(
         _kernel,
@@ -141,8 +143,7 @@ def _segmm_scatter(block_ids, r_local, weights, y, num_nodes,
             num_scalar_prefetch=1,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec((1, chunk), lambda k, bids: (k, 0)),
-                pl.BlockSpec((1, chunk), lambda k, bids: (k, 0)),
+                pl.BlockSpec((1, 8, chunk), lambda k, bids: (k, 0, 0)),
                 pl.BlockSpec((chunk, feat), lambda k, bids: (k, 0)),
             ],
             out_specs=pl.BlockSpec((BLOCK, feat),
@@ -150,7 +151,7 @@ def _segmm_scatter(block_ids, r_local, weights, y, num_nodes,
         ),
         out_shape=jax.ShapeDtypeStruct((num_nodes, feat), y.dtype),
         interpret=interpret,
-    )(block_ids, r_local, weights, y)
+    )(block_ids, aux, y)
 
 
 def _use_interpret() -> bool:
@@ -159,9 +160,6 @@ def _use_interpret() -> bool:
 
 def segmm_spmm(m: SegMM, x: jnp.ndarray) -> jnp.ndarray:
     """out = A·x for the straggler edges (gather in XLA, scatter on MXU)."""
-    y = x[m.senders].reshape(m.r_local.shape[0], m.r_local.shape[1],
-                             x.shape[-1])
-    # feed chunks as a flat (E_pad, F) stream; BlockSpec slices per chunk
-    y = y.reshape(-1, x.shape[-1])
-    return _segmm_scatter(m.block_ids, m.r_local, m.weights, y, m.num_nodes,
+    y = x[m.senders]       # (E_pad, F) stream; BlockSpec slices per chunk
+    return _segmm_scatter(m.block_ids, m.aux, y, m.num_nodes,
                           interpret=_use_interpret())

@@ -38,20 +38,26 @@ struct CSR {
   std::vector<int64_t> indptr;
   std::vector<int64_t> indices;
   std::vector<double> weights;
-  std::vector<double> node_weight;  // weighted degree incl. self-loop weight
-  double total_weight;              // 2m (sum of all directed weights)
+  std::vector<double> self_weight;  // aggregated intra-community mass (the
+                                    // contracted self-loops — 2·Σw_intra)
+  std::vector<double> node_weight;  // weighted degree incl. self_weight
+  double total_weight;              // 2m (sum of all node weights)
 };
 
 // Build symmetric CSR from an edge list (deduplicating is unnecessary for
-// modularity: parallel edges just add weight).
+// modularity: parallel edges just add weight).  ``self_w`` (nullable):
+// per-node self-loop mass carried from a previous aggregation — WITHOUT it
+// the aggregate graph's 2m and node strengths collapse to the cut edges
+// only and the resolution penalty vanishes, merging everything into one
+// community.
 CSR build_csr(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
-              const double* weight) {
+              const double* weight, const double* self_w = nullptr) {
   CSR g;
   g.n = n;
   std::vector<int64_t> deg(n, 0);
   for (int64_t e = 0; e < m; ++e) {
-    if (src[e] == dst[e]) continue;  // self loops ignored (reference graphs
-                                     // are simple)
+    if (src[e] == dst[e]) continue;  // input self loops ignored (reference
+                                     // graphs are simple)
     deg[src[e]]++;
     deg[dst[e]]++;
   }
@@ -71,10 +77,15 @@ CSR build_csr(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
     g.weights[g.indptr[b] + fill[b]] = w;
     fill[b]++;
   }
+  g.self_weight.assign(n, 0.0);
+  if (self_w)
+    for (int64_t i = 0; i < n; ++i) g.self_weight[i] = self_w[i];
   g.node_weight.assign(n, 0.0);
-  for (int64_t i = 0; i < n; ++i)
+  for (int64_t i = 0; i < n; ++i) {
     for (int64_t k = g.indptr[i]; k < g.indptr[i + 1]; ++k)
       g.node_weight[i] += g.weights[k];
+    g.node_weight[i] += g.self_weight[i];
+  }
   g.total_weight =
       std::accumulate(g.node_weight.begin(), g.node_weight.end(), 0.0);
   return g;
@@ -201,26 +212,32 @@ std::vector<int64_t> refine(const CSR& g, const std::vector<int64_t>& comm,
   return ref;
 }
 
-// Aggregate: contract graph by partition `part` (labels 0..k-1).
+// Aggregate: contract graph by partition `part` (labels 0..k-1).  Intra-
+// cluster edge mass (2·Σw) plus the members' existing self mass becomes the
+// contracted node's self weight, preserving node strengths and 2m exactly.
 CSR aggregate(const CSR& g, const std::vector<int64_t>& part, int64_t k) {
   std::vector<int64_t> src, dst;
   std::vector<double> w;
-  // accumulate cross-edges into a hash-free two-pass: collect then build
+  std::vector<double> self_w(k, 0.0);
   src.reserve(g.indices.size() / 2);
   dst.reserve(g.indices.size() / 2);
   w.reserve(g.indices.size() / 2);
   for (int64_t i = 0; i < g.n; ++i) {
+    self_w[part[i]] += g.self_weight[i];
     for (int64_t e = g.indptr[i]; e < g.indptr[i + 1]; ++e) {
       int64_t j = g.indices[e];
-      if (i < j && part[i] != part[j]) {
+      if (i >= j) continue;
+      if (part[i] != part[j]) {
         src.push_back(part[i]);
         dst.push_back(part[j]);
         w.push_back(g.weights[e]);
+      } else {
+        self_w[part[i]] += 2.0 * g.weights[e];
       }
     }
   }
   return build_csr(k, static_cast<int64_t>(src.size()), src.data(),
-                   dst.data(), w.data());
+                   dst.data(), w.data(), self_w.data());
 }
 
 }  // namespace
@@ -230,6 +247,9 @@ extern "C" int64_t leiden_partition(int64_t n, int64_t m, const int64_t* src,
                                     double resolution, uint64_t seed,
                                     int max_levels, int64_t* out_labels) {
   if (n <= 0 || !out_labels) return -1;
+  for (int64_t e = 0; e < m; ++e)  // defend the heap: a bad id would
+    if (src[e] < 0 || src[e] >= n || dst[e] < 0 || dst[e] >= n)
+      return -1;                   // corrupt build_csr's degree counts
   try {
     std::mt19937_64 rng(seed);
     CSR g = build_csr(n, m, src, dst, weight);

@@ -46,7 +46,7 @@ def main():
     rcv = rng.integers(0, n, e, dtype=np.int64)
     comm = rcv // 512
     snd = np.where(rng.random(e) < 0.85,
-                   comm * 512 + rng.integers(0, 512, e),
+                   np.minimum(comm * 512 + rng.integers(0, 512, e), n - 1),
                    rng.integers(0, n, e, dtype=np.int64))
     keep = snd != rcv
     snd, rcv = snd[keep], rcv[keep]
