@@ -25,10 +25,14 @@ import time
 import numpy as np
 
 REF_EDGES_PER_SEC = 5.0e7
-BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "float32")
-BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "150"))
+# defaults = the tuned production config (PERFORMANCE.md round-2 sweep):
+# tile threshold 48, bf16 conv stack + tiles, rbg dropout PRNG, MXU
+# selector-matmul straggler scatter.  Env knobs ablate each.
+BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "bfloat16")
+BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "48"))
 BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
-BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "")
+BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "rbg")
+BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
 # component ablations (diagnostics only — vs_baseline is not honest then):
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
@@ -96,8 +100,7 @@ def main():
                        np.asarray(g.receivers, dtype=np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
                        min_block_edges=BENCH_TILE_THRESHOLD,
-                       tile_dtype=tile_dtype,
-                       use_segmm=os.environ.get("FITGNN_BENCH_SEGMM") == "1")
+                       tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)

@@ -30,7 +30,9 @@ from fitgnn_tpu.coarsen.variation import (
 
 METHODS = (
     "variation_neighborhoods", "variation_edges", "variation_cliques",
-    "heavy_edge", "algebraic_JC", "affinity_GS", "kron",
+    "heavy_edge", "heavy_edge_degree", "algebraic_JC", "algebraic_GS",
+    "affinity_GS", "min_expected_loss", "min_expected_gradient_loss",
+    "rss", "rss_lanczos", "rss_cheby", "kron",
 )
 
 
@@ -96,8 +98,11 @@ def coarsen(W: sp.spmatrix, r: float = 0.5,
                 mode = method.split("_", 1)[1]  # neighborhoods | cliques
                 sets = contract_variation_linear(cur, A, r_cur, mode=mode)
         else:
-            edges, prox, _ = PROXIMITY_FNS[method](cur, seed=seed) \
-                if method != "heavy_edge" else PROXIMITY_FNS[method](cur)
+            fn = PROXIMITY_FNS[method]
+            if method in ("heavy_edge", "heavy_edge_degree"):
+                edges, prox, _ = fn(cur)
+            else:
+                edges, prox, _ = fn(cur, seed=seed)
             if algorithm == "optimal":
                 costs = -prox
                 costs -= costs.min() if costs.size else 0.0

@@ -97,9 +97,41 @@ def propagate_basis(B: np.ndarray, iC: sp.spmatrix, L_coarse: sp.spmatrix):
     return B @ (V * dinvsqrt[None, :])
 
 
+def chebyshev_filter(L: sp.spmatrix, X: np.ndarray, lambda_cut: float,
+                     lmax: float, order: int = 50) -> np.ndarray:
+    """Low-pass graph filter h(λ)=1_{λ≤cut} applied via an order-``order``
+    Chebyshev polynomial of L (first-party replacement for the pygsp
+    Chebyshev filter the reference uses, ``coarsening_utils.py:851-854``)."""
+    lmax = max(float(lmax), 1e-12)
+    nq = order + 1
+    tq = np.cos(np.pi * (np.arange(nq) + 0.5) / nq)       # Cheb nodes
+    lam_q = lmax * (tq + 1.0) / 2.0
+    hq = (lam_q <= lambda_cut).astype(np.float64)
+    # coefficients c_k = (2/nq) Σ_q h(λ_q) cos(k·acos(t_q))
+    ks = np.arange(order + 1)
+    c = (2.0 / nq) * (np.cos(np.outer(ks, np.arccos(tq))) @ hq)
+
+    # T_k recurrence on the scaled operator Ls = 2L/lmax − I
+    def ls(v):
+        return (2.0 / lmax) * (L @ v) - v
+
+    t_prev = X
+    t_cur = ls(X)
+    out = 0.5 * c[0] * t_prev + c[1] * t_cur
+    for k in range(2, order + 1):
+        t_next = 2.0 * ls(t_cur) - t_prev
+        out = out + c[k] * t_next
+        t_prev, t_cur = t_cur, t_next
+    return out
+
+
 def smoothed_vectors(g: LapGraph, num_vectors: int, method: str = "JC",
-                     iterations: int = 20, seed: int = 0) -> np.ndarray:
-    """Relaxed random test vectors: 'JC' (damped Jacobi) or 'GS' (Gauss–Seidel).
+                     iterations: int = 20, seed: int = 0,
+                     lambda_cut: float = 0.1,
+                     cheby_order: int = 50) -> np.ndarray:
+    """Relaxed random test vectors: 'JC' (damped Jacobi), 'GS'
+    (Gauss–Seidel), or 'Chebychev' (order-50 low-pass filter below
+    ``lambda_cut``, reference spelling kept).
 
     Matches the reference's generator semantics (``:814-854``): X ~ N(0,1)/√N,
     JC: x ← ½x + ½ D⁻¹(D−L)x ; GS: x ← −(L_lower+D)⁻¹ L_upper x.
@@ -108,6 +140,9 @@ def smoothed_vectors(g: LapGraph, num_vectors: int, method: str = "JC",
     n = g.N
     X = rng.standard_normal((n, num_vectors)) / np.sqrt(n)
     L = g.L.tocsr()
+    if method in ("Chebychev", "Chebyshev", "cheby"):
+        lmax = 2.0 * float(g.dw.max()) if g.dw.size else 2.0  # λmax(L) bound
+        return chebyshev_filter(L, X, lambda_cut, lmax, order=cheby_order)
     if method in ("JC", "Jacobi"):
         deg = g.dw.astype(np.float64)
         with np.errstate(divide="ignore"):

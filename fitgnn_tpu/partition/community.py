@@ -131,12 +131,25 @@ def community_order(labels: np.ndarray) -> np.ndarray:
 
 def hierarchical_community_order(senders: np.ndarray, receivers: np.ndarray,
                                  num_nodes: int, seed: int = 0,
-                                 sub_resolution: float = 100.0,
-                                 sub_threshold: int = 512) -> np.ndarray:
-    """Two-level ordering for dense BCSR tiles: outer Leiden (modularity)
-    groups communities; each community larger than ``sub_threshold`` is
-    re-clustered at high resolution so nodes that share many edges land in
-    the same 128-aligned tile rows.  Returns the node permutation."""
+                                 sub_resolution: float = 1.0,
+                                 block: int = 128) -> np.ndarray:
+    """Tile-aligned two-level ordering for dense BCSR tiles.
+
+    1. Outer Leiden (modularity) finds communities; any community larger
+       than ``block`` is re-clustered on its slice-local edges (modularity
+       at slice scale — NOT a high resolution, which atomizes small slices)
+       and still-oversized sub-groups are chopped into ``block``-sized
+       pieces (they are dense internally — chopping costs nothing once
+       pieces stay block-aligned).
+    2. The ≤``block``-node groups are bin-packed into 128-node blocks
+       (best-fit decreasing, WITHIN each outer community to keep
+       cross-group locality); exactly-full bins are emitted first so their
+       tiles stay 128-aligned — a dense group straddling a tile boundary
+       splits across half-empty tiles and pushes edges onto the straggler
+       path.
+
+    Returns the node permutation.
+    """
     labels = leiden_communities(senders, receivers, num_nodes, seed=seed)
     order = community_order(labels)
     inv = np.empty(num_nodes, dtype=np.int64)
@@ -144,25 +157,78 @@ def hierarchical_community_order(senders: np.ndarray, receivers: np.ndarray,
     s2, r2 = inv[senders], inv[receivers]
     lab2 = labels[order]
 
-    # refine large communities in contiguous slices (edges pre-grouped by
-    # receiver community via one sort)
-    final = order.copy()
+    # --- refine to ≤block-node groups (slice-local edges via one sort) ----
+    group = np.empty(num_nodes, dtype=np.int64)
+    next_group = 0
     comms, starts = np.unique(lab2, return_index=True)
     bounds = np.sort(np.append(starts, num_nodes))
     eorder = np.argsort(r2, kind="stable")
     r2s, s2s = r2[eorder], s2[eorder]
     for b0, b1 in zip(bounds[:-1], bounds[1:]):
         size = b1 - b0
-        if size <= sub_threshold:
+        if size <= block:
+            group[b0:b1] = next_group
+            next_group += 1
             continue
         lo, hi = np.searchsorted(r2s, [b0, b1])
         seg_s, seg_r = s2s[lo:hi], r2s[lo:hi]
         keep = (seg_s >= b0) & (seg_s < b1)
-        if not keep.any():
-            continue
-        sub_lab = leiden_communities(seg_s[keep] - b0, seg_r[keep] - b0,
-                                     size, resolution=sub_resolution,
-                                     seed=seed)
+        if keep.any():
+            sub_lab = leiden_communities(seg_s[keep] - b0, seg_r[keep] - b0,
+                                         size, resolution=sub_resolution,
+                                         seed=seed)
+        else:
+            sub_lab = np.zeros(size, dtype=np.int64)
+        # order slice nodes by sub-community, chop oversized runs
         sub_ord = community_order(sub_lab)
-        final[b0:b1] = final[b0:b1][sub_ord]
-    return final
+        sl = sub_lab[sub_ord]
+        run_break = np.nonzero(np.diff(sl))[0] + 1
+        pieces = np.split(np.arange(size), run_break)
+        gl = np.empty(size, dtype=np.int64)
+        for piece in pieces:
+            for off in range(0, len(piece), block):
+                gl[piece[off:off + block]] = next_group
+                next_group += 1
+        # gl is over sub_ord positions; scatter back to slice positions
+        group[b0:b1][sub_ord] = gl
+
+    # --- bin-pack groups into block-sized bins, per outer community -----
+    # Groups from one community pack together (locality: their cross-group
+    # edges share tiles); each community's EXACTLY-full bins are emitted in
+    # place so their tiles stay 128-aligned, and the partial leftovers go to
+    # a global tail (each group still contiguous — its intra-edges stay
+    # dense even when the tile grid cuts them).
+    sizes = np.bincount(group, minlength=next_group)
+    group_comm = np.empty(next_group, dtype=np.int64)
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):   # slice → community id
+        group_comm[group[b0:b1]] = b0
+    full_seq, tail_seq = [], []
+    for c in np.unique(group_comm):
+        gids = np.nonzero(group_comm == c)[0]
+        gids = gids[np.argsort(-sizes[gids], kind="stable")]
+        by_free = {}                       # free space -> [bin index]
+        bin_groups, bin_free = [], []
+        for gid in gids:
+            sz = int(sizes[gid])
+            if sz == 0:
+                continue
+            bi = None
+            for free in range(sz, block + 1):  # best fit within community
+                if by_free.get(free):
+                    bi = by_free[free].pop()
+                    break
+            if bi is None:
+                bi = len(bin_groups)
+                bin_groups.append([])
+                bin_free.append(block)
+            bin_groups[bi].append(gid)
+            bin_free[bi] -= sz
+            by_free.setdefault(bin_free[bi], []).append(bi)
+        for bi, gl in enumerate(bin_groups):
+            (full_seq if bin_free[bi] == 0 else tail_seq).extend(gl)
+
+    rank = np.empty(next_group, dtype=np.int64)
+    for pos, gid in enumerate(full_seq + tail_seq):
+        rank[gid] = pos
+    # final permutation: sort slice-ordered nodes by their group's bin rank
+    return order[np.argsort(rank[group], kind="stable")]

@@ -144,3 +144,35 @@ class TestOptimalMatching:
         W = grid_W(6)
         res = coarsen(W, r=0.4, method="heavy_edge", algorithm="optimal")
         assert res.num_coarse < 36
+
+
+class TestChebyshevSmoother:
+    def test_low_pass_property(self):
+        """Chebyshev-filtered random vectors concentrate in the low part of
+        the spectrum: Rayleigh quotients fall well below the random mean."""
+        import scipy.sparse as sp
+        from fitgnn_tpu.coarsen.spectral import smoothed_vectors
+        rng = np.random.default_rng(0)
+        n = 300
+        r = rng.integers(0, n, n * 6)
+        s = np.where(rng.random(n * 6) < 0.8,
+                     (r // 30) * 30 + rng.integers(0, 30, n * 6),
+                     rng.integers(0, n, n * 6))
+        keep = s != r
+        W = sp.csr_matrix((np.ones(keep.sum()), (s[keep], r[keep])),
+                          shape=(n, n))
+        W = W + W.T
+        W.data[:] = 1.0
+        g = LapGraph(W)
+        lam, _ = np.linalg.eigh(g.L.toarray()), None
+        lam = lam[0]
+        cut = lam[10]
+        X = smoothed_vectors(g, 6, method="Chebychev", lambda_cut=float(cut),
+                             seed=0)
+        ray = np.einsum("nk,nk->k", X, g.L @ X) / np.maximum(
+            np.einsum("nk,nk->k", X, X), 1e-30)
+        raw = np.random.default_rng(0).standard_normal((n, 6)) / np.sqrt(n)
+        ray_raw = np.einsum("nk,nk->k", raw, g.L @ raw) / np.einsum(
+            "nk,nk->k", raw, raw)
+        assert ray.mean() < 0.25 * ray_raw.mean()
+        assert ray.mean() < 2.5 * cut
