@@ -33,6 +33,11 @@ BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "48"))
 BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
 BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "rbg")
 BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
+# vary param/dropout seeds WITHOUT changing the compiled program: re-runs of
+# a fully deterministic bench replay identical (program, input) dispatches,
+# which the tunnel's result cache would serve without re-executing
+BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED", "0"))
+BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
 # component ablations (diagnostics only — vs_baseline is not honest then):
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
@@ -122,7 +127,8 @@ def main():
     model = NodeModel(layer_name="GCNConv", hidden=HIDDEN, num_layers=2,
                       out_dim=NUM_CLASSES, dtype=dtype,
                       first_layer_preaggregated=True,
-                      dropout_rate=BENCH_DROPOUT)
+                      dropout_rate=BENCH_DROPOUT,
+                      fused_dropout=BENCH_FUSED_DROPOUT)
     # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact — input
     # features are constant, Â(X·W) = (Â·X)·W)
     x_pre = preaggregate_features(g)
@@ -130,9 +136,9 @@ def main():
         x_pre = x_pre.astype(dtype)   # the bf16 stack consumes it directly
     x_pre.block_until_ready()
     g = g._replace(x=x_pre)
-    state = create_state(model, jax.random.PRNGKey(0), g.x, g)
+    state = create_state(model, jax.random.PRNGKey(BENCH_SEED), g.x, g)
     yv, mv = g.y, g.train_mask
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(BENCH_SEED + 1)
 
     # warm-up / compile
     state, loss = gc_train_step(state, g, yv, mv, key, "classification")

@@ -44,6 +44,10 @@ class ConvStack(nn.Module):
     dropout_rate: float = 0.5
     dtype: Optional[jnp.dtype] = None   # compute dtype (e.g. bf16)
     first_layer_preaggregated: bool = False
+    fused_dropout: bool = False         # Pallas in-VMEM mask generation
+                                        # (ops/pallas/dropout.py); same
+                                        # Bernoulli semantics, different
+                                        # random stream
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
@@ -59,7 +63,16 @@ class ConvStack(nn.Module):
                 x = make_layer(self.layer_name, self.hidden, self.dtype,
                                name=f"{self.layer_name}_{i}")(x, g)
             x = nn.elu(x)
-            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            if (self.fused_dropout and train and self.dropout_rate > 0.0
+                    and x.ndim == 2):
+                from fitgnn_tpu.ops.pallas.dropout import (fused_dropout,
+                                                           seed_from_rng)
+                seed = seed_from_rng(
+                    jax.random.fold_in(self.make_rng("dropout"), i))
+                x = fused_dropout(x, seed, self.dropout_rate)
+            else:
+                x = nn.Dropout(self.dropout_rate,
+                               deterministic=not train)(x)
         return x
 
 
@@ -88,12 +101,14 @@ class NodeModel(nn.Module):
                                         # and softmax stay float32
     first_layer_preaggregated: bool = False  # pass x̃ = Â·X (see ConvStack)
     dropout_rate: float = 0.5
+    fused_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         x = ConvStack(self.layer_name, self.hidden, self.num_layers,
                       dtype=self.dtype, dropout_rate=self.dropout_rate,
                       first_layer_preaggregated=self.first_layer_preaggregated,
+                      fused_dropout=self.fused_dropout,
                       name="convs")(x, g, train=train)
         # head runs in the stack's compute dtype (casting the wide features
         # up would move 2·N·H f32 bytes); only the narrow logits are promoted

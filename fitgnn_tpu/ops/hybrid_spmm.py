@@ -42,6 +42,12 @@ class HybridSpmm:
     num_nodes: int = flax.struct.field(pytree_node=False)
     segmm: Optional[object] = None     # ops.pallas.coo_segmm.SegMM — MXU
     t_segmm: Optional[object] = None   # scatter path for the stragglers
+    diag_blocks: Optional[jnp.ndarray] = None  # (NB, B, B) block-DIAGONAL
+                                       # dense tiles — community-ordered
+                                       # graphs put ~90 % of dense edges
+                                       # here; one batched einsum beats a
+                                       # per-tile kernel walk (XLA autodiff
+                                       # supplies the transposed matmul)
 
     @property
     def num_coo_edges(self) -> int:
@@ -52,7 +58,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  weight: np.ndarray, num_nodes_padded: int,
                  min_block_edges: int = 150,
                  block: int = BLOCK, tile_dtype=None,
-                 use_segmm: bool = False) -> HybridSpmm:
+                 use_segmm: bool = False,
+                 use_diag: bool = True) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
@@ -62,17 +69,33 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     tile = (receivers // block) * nb + (senders // block)
     uniq, inv, counts = np.unique(tile, return_inverse=True,
                                   return_counts=True)
-    dense_edge = counts[inv] >= min_block_edges
+    dense_all = counts[inv] >= min_block_edges
+
+    diag_blocks = None
+    on_diag = np.zeros_like(dense_all)
+    if use_diag:
+        on_diag = dense_all & (receivers // block == senders // block)
+        if on_diag.any():
+            db = np.zeros((nb, block, block), dtype=np.float32)
+            np.add.at(db, (receivers[on_diag] // block,
+                           receivers[on_diag] % block,
+                           senders[on_diag] % block), weight[on_diag])
+            diag_blocks = jnp.asarray(db)
+            if tile_dtype is not None:
+                diag_blocks = diag_blocks.astype(tile_dtype)
+        else:
+            on_diag = np.zeros_like(dense_all)
 
     bsr = None
-    if dense_edge.any():
-        bsr = build_bsr(senders[dense_edge].astype(np.int64),
-                        receivers[dense_edge].astype(np.int64),
-                        weight[dense_edge], num_nodes_padded, block=block,
+    bsr_mask = dense_all & ~on_diag
+    if bsr_mask.any():
+        bsr = build_bsr(senders[bsr_mask].astype(np.int64),
+                        receivers[bsr_mask].astype(np.int64),
+                        weight[bsr_mask], num_nodes_padded, block=block,
                         tile_dtype=tile_dtype)
 
-    cs, cr, cw = (senders[~dense_edge], receivers[~dense_edge],
-                  weight[~dense_edge])
+    cs, cr, cw = (senders[~dense_all], receivers[~dense_all],
+                  weight[~dense_all])
     if len(cs) == 0:  # keep shapes non-empty for jit friendliness
         cs = np.array([num_nodes_padded - 1], dtype=np.int64)
         cr = np.array([num_nodes_padded - 1], dtype=np.int64)
@@ -97,7 +120,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
                       t_senders=s_t, t_receivers=r_t, t_weights=w_t,
                       num_nodes=num_nodes_padded,
-                      segmm=segmm, t_segmm=t_segmm)
+                      segmm=segmm, t_segmm=t_segmm, diag_blocks=diag_blocks)
 
 
 @jax.custom_vjp
@@ -129,4 +152,12 @@ def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
     out = _coo_part(h, x)
     if h.bsr is not None:
         out = out + bsr_spmm(h.bsr, x)
+    if h.diag_blocks is not None:
+        nb, b, _ = h.diag_blocks.shape
+        xb = x.reshape(nb, b, x.shape[-1])
+        if h.diag_blocks.dtype == jnp.bfloat16:
+            xb = xb.astype(jnp.bfloat16)
+        dg = jnp.einsum("bij,bjf->bif", h.diag_blocks, xb,
+                        preferred_element_type=jnp.float32)
+        out = out + dg.reshape(x.shape).astype(out.dtype)
     return out

@@ -1,8 +1,11 @@
 #!/bin/bash
 # Sequential TPU job queue: run each "name::command" line one at a time so
-# jobs never contend for the single chip.
+# jobs never contend for the single chip.  A global flock serializes
+# concurrent queue invocations too.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+exec 9>/tmp/tpu_chip.lock
+flock 9
 while IFS= read -r line; do
   [ -z "$line" ] && continue
   name="${line%%::*}"
