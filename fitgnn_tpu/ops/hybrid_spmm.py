@@ -43,11 +43,12 @@ class HybridSpmm:
     segmm: Optional[object] = None     # ops.pallas.coo_segmm.SegMM — MXU
     t_segmm: Optional[object] = None   # scatter path for the stragglers
     diag_blocks: Optional[jnp.ndarray] = None  # (NB, B, B) block-DIAGONAL
-                                       # dense tiles — community-ordered
-                                       # graphs put ~90 % of dense edges
-                                       # here; one batched einsum beats a
-                                       # per-tile kernel walk (XLA autodiff
-                                       # supplies the transposed matmul)
+                                       # dense tiles as one batched einsum
+                                       # (opt-in; measured ~1 ms SLOWER than
+                                       # keeping the diagonal in the BSR
+                                       # kernel on the bench graph — the
+                                       # split strands off-diag tiles with
+                                       # row-coverage filler)
 
     @property
     def num_coo_edges(self) -> int:
@@ -59,7 +60,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  min_block_edges: int = 150,
                  block: int = BLOCK, tile_dtype=None,
                  use_segmm: bool = False,
-                 use_diag: bool = True) -> HybridSpmm:
+                 use_diag: bool = False) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
@@ -157,7 +158,9 @@ def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
         xb = x.reshape(nb, b, x.shape[-1])
         if h.diag_blocks.dtype == jnp.bfloat16:
             xb = xb.astype(jnp.bfloat16)
-        dg = jnp.einsum("bij,bjf->bif", h.diag_blocks, xb,
-                        preferred_element_type=jnp.float32)
+        # no preferred_element_type: the MXU accumulates f32 internally and
+        # rounds at output — requesting an f32 result would materialize a
+        # full-size f32 intermediate before the cast back
+        dg = jnp.einsum("bij,bjf->bif", h.diag_blocks, xb)
         out = out + dg.reshape(x.shape).astype(out.dtype)
     return out

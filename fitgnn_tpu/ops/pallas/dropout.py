@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 512    # rows per grid step
+ROWS = 2048   # rows per grid step (large blocks amortize per-step cost;
+              # 2048·512·2 B = 2 MB in + 2 MB out, double-buffered ≈ 8 MB)
 
 
 def _kernel(seed_ref, x_ref, o_ref, *, rate: float):
