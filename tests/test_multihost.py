@@ -53,6 +53,43 @@ class TestDistributedLoopback:
         assert "loopback-ok" in proc.stdout
 
 
+_TWO_PROC_PROG = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:%d",
+                           num_processes=2, process_id=int(sys.argv[1]))
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+assert jax.process_count() == 2
+x = jnp.ones(8) * (jax.process_index() + 1)
+total = multihost_utils.process_allgather(x)
+assert float(total.sum()) == 24.0, float(total.sum())
+jax.distributed.shutdown()
+print("twoproc-ok")
+"""
+
+
+class TestTwoProcessCollectives:
+    def test_cross_process_allgather(self):
+        """REAL multi-process run: two jax.distributed processes exchange
+        data through the coordinator (the multi-host pod-slice pattern,
+        Gloo-backed on CPU)."""
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", _TWO_PROC_PROG % port, str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True) for i in range(2)]
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            assert p.returncode == 0, err[-2000:]
+            assert "twoproc-ok" in out
+
+
 class TestPlacement:
     def test_contiguous_and_balanced(self):
         rng = np.random.default_rng(0)
