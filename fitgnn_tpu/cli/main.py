@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--num_devices", type=int, default=1,
                    help="shard node-task training over a device mesh "
                         "(1 = single-chip)")
+    t.add_argument("--num_hosts", type=int, default=1,
+                   help="with --baseline --num_devices N: arrange the mesh "
+                        "as (num_hosts x N/num_hosts) and use the "
+                        "hierarchical exchange (exact halo over the chip "
+                        "axis, cluster summaries across hosts)")
 
     i = common(sub.add_parser("infer"))
     i.add_argument("--hidden", type=int, default=512)
@@ -319,6 +324,11 @@ def _cmd_train_baseline(args) -> int:
     if args.normalize_features:
         norms = np.abs(ds.x).sum(axis=1, keepdims=True)
         ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
+    if args.num_devices > 1:
+        if not classify:
+            raise SystemExit("distributed baseline supports node_cls")
+        return _cmd_train_baseline_dist(args, ds, train, val, test,
+                                        num_classes)
     g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,
                     train_mask=train, val_mask=val, test_mask=test)
     task = "classification" if classify else "regression"
@@ -380,6 +390,104 @@ def _cmd_train_baseline(args) -> int:
         "best_acc": float(top_acc[0]),
         "top_10_loss": f"{top_loss.mean()} +/- {top_loss.std()}",
         "best_loss": float(top_loss[0])})
+    R.append_csv_row(f"results/baseline/{args.dataset}.csv", header, row)
+    print(f"results/baseline/{args.dataset}.csv <- {row}")
+    return 0
+
+
+def _cmd_train_baseline_dist(args, ds, train, val, test,
+                             num_classes: int) -> int:
+    """Full-graph baseline training sharded over a (num_hosts × chips) mesh
+    through the hierarchical exchange: community-placed shards, exact halo
+    rows over the chip/ICI axis, cluster-summary rows across hosts — the
+    reference's cluster_node mechanism as a collective (SURVEY §2.4)."""
+    import jax
+    from fitgnn_tpu.parallel import (
+        CHIP_AXIS, HOST_AXIS, HierNodeModel, build_hier_plan,
+        init_hier_params, make_hier_eval_step, make_hier_mesh,
+        make_hier_train_step, shard_graph)
+    from fitgnn_tpu.parallel.multihost import placement_by_community
+    from fitgnn_tpu.partition.community import leiden_communities
+    from fitgnn_tpu.train.steps import TrainState, adam_l2
+    from fitgnn_tpu.utils import results as R
+    import numpy as _np
+
+    H = args.num_hosts
+    P_ = args.num_devices
+    if P_ % H != 0:
+        raise SystemExit(f"--num_devices {P_} must divide by --num_hosts {H}")
+    D = P_ // H
+    if len(jax.devices()) < P_:
+        raise SystemExit(
+            f"num_devices={P_} but only {len(jax.devices())} JAX devices "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+
+    labels = leiden_communities(ds.senders, ds.receivers, ds.num_nodes,
+                                seed=args.seed)
+    order, shard_of = placement_by_community(labels, P_)
+    sg = shard_graph(ds.x, ds.senders, ds.receivers, np.asarray(ds.y), P_,
+                     train_mask=train, val_mask=val, test_mask=test,
+                     order=order)
+    # clusters = communities made shard-local: shard_graph slices uniform
+    # n_loc blocks that need not align with the LPT placement, so a
+    # community straddling a slice boundary is split at it (summaries just
+    # get finer); padding nodes get an inert per-shard cluster
+    n_loc = sg.nodes_per_shard
+    n_pad_total = sg.num_nodes_global
+    lab_ordered = np.concatenate(
+        [labels[order], np.full(n_pad_total - len(order),
+                                labels.max() + 1, dtype=np.int64)])
+    shard_idx = np.arange(n_pad_total) // n_loc
+    pair = shard_idx * (int(lab_ordered.max()) + 2) + lab_ordered
+    _, cluster_of = np.unique(pair, return_inverse=True)
+    plan = build_hier_plan(np.asarray(sg.senders), np.asarray(sg.receivers),
+                           np.asarray(sg.edge_weight), H, D, n_loc,
+                           cluster_of)
+    mesh = make_hier_mesh(H, D)
+    model = HierNodeModel(hidden=args.hidden, num_layers=args.num_layers1,
+                          out_dim=num_classes)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = init_hier_params(model, plan, sg.x, init_rng)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=adam_l2(args.lr, args.weight_decay))
+    train_step = make_hier_train_step(mesh, model, plan)
+    eval_step = make_hier_eval_step(mesh, model, plan)
+
+    best_val, best_params = _np.inf, state.params
+    with mesh:
+        for epoch in range(args.epochs1):
+            rng, step_rng = jax.random.split(rng)
+            state, loss = train_step(state, sg.x, sg.y, sg.train_mask,
+                                     plan, step_rng)
+            val_loss, _ = eval_step(state, sg.x, sg.y, sg.val_mask, plan)
+            if float(val_loss) < best_val or epoch == 0:
+                best_val = float(val_loss)
+                best_params = state.params
+        state = state.replace(params=best_params)
+        test_loss, test_acc = eval_step(state, sg.x, sg.y, sg.test_mask,
+                                        plan)
+    test_loss, test_acc = float(test_loss), float(test_acc)
+    print(f"distributed baseline ({H}x{D} mesh): test_loss={test_loss:.4f} "
+          f"acc={test_acc:.4f}")
+
+    from fitgnn_tpu.train.checkpoint import save_params
+    ckpt = checkpoint_path(args.task, args.output_dir, baseline=True)
+    save_params(ckpt, best_params)
+    print(f"checkpoint saved: {ckpt}")
+
+    header = R.TRAIN_NODE_CLS_HEADER
+    row = R.format_row(header, {
+        "dataset": args.dataset, "coarsening_method": "none",
+        "coarsening_ratio": "", "experiment": getattr(args, "experiment", ""),
+        "exp_setup": f"baseline_dist_{H}x{D}", "layer_name": args.layer_name,
+        "extra_nodes": False, "cluster_node": H > 1,
+        "community_used": True, "hidden": args.hidden, "runs": 1,
+        "num_layers": args.num_layers1, "batch_size": args.batch_size,
+        "lr": args.lr, "ave_acc": f"{test_acc} +/- 0.0",
+        "ave_time": 0.0, "top_10_acc": f"{test_acc} +/- 0.0",
+        "best_acc": test_acc, "top_10_loss": f"{test_loss} +/- 0.0",
+        "best_loss": test_loss})
     R.append_csv_row(f"results/baseline/{args.dataset}.csv", header, row)
     print(f"results/baseline/{args.dataset}.csv <- {row}")
     return 0

@@ -15,8 +15,8 @@ from fitgnn_tpu.parallel.dist_subgraphs import (
 )
 from fitgnn_tpu.parallel.hierarchical import (
     HierPlan, build_hier_plan, HierGCNConv, HierNodeModel, hier_aggregate,
-    make_hier_mesh, make_hier_train_step, hier_oracle_features,
-    HOST_AXIS, CHIP_AXIS,
+    make_hier_mesh, make_hier_train_step, make_hier_eval_step,
+    init_hier_params, hier_oracle_features, HOST_AXIS, CHIP_AXIS,
 )
 
 __all__ = [
@@ -29,5 +29,6 @@ __all__ = [
     "make_dist_gs_train_step_multi", "make_dist_gs_eval_step_multi",
     "HierPlan", "build_hier_plan", "HierGCNConv", "HierNodeModel",
     "hier_aggregate", "make_hier_mesh", "make_hier_train_step",
+    "make_hier_eval_step", "init_hier_params",
     "hier_oracle_features", "HOST_AXIS", "CHIP_AXIS",
 ]

@@ -372,6 +372,55 @@ def make_hier_train_step(mesh, model: HierNodeModel, plan: HierPlan):
     return jax.jit(step)
 
 
+def make_hier_eval_step(mesh, model: HierNodeModel, plan: HierPlan):
+    """(state, x, y, mask, plan) → (loss, acc) over the 2-D mesh."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    SH = P((HOST_AXIS, CHIP_AXIS))
+    plan_spec = jax.tree_util.tree_map(lambda _: SH, plan)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), SH, SH, SH, plan_spec),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def step(state, xb, yb, mb, plan_b: HierPlan):
+        x = xb[0]
+        y, m = yb[0], mb[0]
+        pb = jax.tree_util.tree_map(lambda a: a[0], plan_b)
+        out = model.apply(state.params, x, pb)
+        picked = jnp.take_along_axis(
+            out, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        mf = m.astype(out.dtype)
+        loss_sum = jax.lax.psum(jnp.sum(-picked * mf),
+                                (HOST_AXIS, CHIP_AXIS))
+        correct = jax.lax.psum(jnp.sum(
+            (jnp.argmax(out, -1) == y).astype(out.dtype) * mf),
+            (HOST_AXIS, CHIP_AXIS))
+        cnt = jnp.maximum(jax.lax.psum(jnp.sum(mf),
+                                       (HOST_AXIS, CHIP_AXIS)), 1.0)
+        return loss_sum / cnt, correct / cnt
+
+    return jax.jit(step)
+
+
+def init_hier_params(model: HierNodeModel, plan: HierPlan, x_sharded,
+                     rng) -> dict:
+    """Init params on one shard's shapes under a dummy 2-axis vmap (the
+    model's collectives need both axis names bound; size-1 axes make the
+    gathers no-ops)."""
+    pb0 = jax.tree_util.tree_map(lambda a: a[:1][None], plan)
+
+    def init_fn(xb, pb):
+        return model.init(rng, xb, pb)
+
+    params = jax.vmap(jax.vmap(init_fn, axis_name=CHIP_AXIS),
+                      axis_name=HOST_AXIS)(x_sharded[:1][None], pb0)
+    return jax.tree_util.tree_map(lambda a: a[0, 0], params)
+
+
 def hier_oracle_features(x: np.ndarray, senders: np.ndarray,
                          receivers: np.ndarray, weights: np.ndarray,
                          num_hosts: int, chips_per_host: int,

@@ -236,3 +236,19 @@ class TestDistributedCli:
         for u, v in zip(a, b):
             np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                        rtol=2e-4, atol=2e-6)
+
+
+class TestHierarchicalCli:
+    def test_distributed_baseline_2x4(self, tmp_path, toy_root):
+        """Full-graph baseline training sharded over a (host x chip) mesh
+        through the hierarchical exchange, end to end from the CLI."""
+        rc = run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                     "--experiment", "random", "--hidden", "16",
+                     "--epochs1", "4", "--baseline",
+                     "--num_devices", "8", "--num_hosts", "2")
+        assert rc == 0
+        content = (tmp_path / "results" / "baseline" / "toy.csv").read_text()
+        assert "baseline_dist_2x4" in content
+        from fitgnn_tpu.cli.main import checkpoint_path
+        assert (tmp_path / checkpoint_path("node_cls", "out",
+                                           baseline=True)).exists()
