@@ -35,8 +35,10 @@ BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "rbg")
 BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
 # vary param/dropout seeds WITHOUT changing the compiled program: re-runs of
 # a fully deterministic bench replay identical (program, input) dispatches,
-# which the tunnel's result cache would serve without re-executing
-BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED", "0"))
+# which the tunnel's result cache would serve without re-executing — the
+# default seed is time-derived so every run executes fresh
+BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED",
+                                str(int(time.time()) % 999983)))
 BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
 # component ablations (diagnostics only — vs_baseline is not honest then):
 #   no_coo  — drop the straggler COO edges from the hybrid operator
