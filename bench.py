@@ -40,6 +40,7 @@ BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
 BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED",
                                 str(int(time.time()) % 999983)))
 BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
+BENCH_ROWWALK = os.environ.get("FITGNN_BENCH_ROWWALK", "0") == "1"
 # component ablations (diagnostics only — vs_baseline is not honest then):
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
@@ -107,7 +108,8 @@ def main():
                        np.asarray(g.receivers, dtype=np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
                        min_block_edges=BENCH_TILE_THRESHOLD,
-                       tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM)
+                       tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM,
+                       use_rowwalk=BENCH_ROWWALK)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)

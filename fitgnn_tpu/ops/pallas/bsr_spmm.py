@@ -40,6 +40,9 @@ class BsrMatrix:
     num_row_blocks: int = flax.struct.field(pytree_node=False)
     num_col_blocks: int = flax.struct.field(pytree_node=False)
     transpose: Optional["BsrMatrix"] = None  # for the VJP; no nested transpose
+    row_splits: Optional[jnp.ndarray] = None  # (NB+1,) CSR row pointers into
+                               # blocks/cols — drives the row-walk kernel
+    rowwalk: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def nnz_blocks(self) -> int:
@@ -53,7 +56,7 @@ class BsrMatrix:
 def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
               num_nodes_padded: int, block: int = BLOCK,
               with_transpose: bool = True, dtype=np.float32,
-              tile_dtype=None) -> BsrMatrix:
+              tile_dtype=None, rowwalk: bool = False) -> BsrMatrix:
     """Host-side BCSR construction from a COO edge list (numpy).
 
     ``num_nodes_padded`` must be a multiple of ``block``.  Edges pointing at
@@ -75,28 +78,33 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     if k == 0:
         rows = np.zeros(1, dtype=np.int32)
         cols = np.zeros(1, dtype=np.int32)
-    # every row block needs ≥1 tile: a grid that never visits a row block
-    # leaves its out tile UNINITIALIZED (out buffers are not zeroed) —
-    # append zero tiles for uncovered rows and keep rows sorted
-    missing = np.setdiff1d(np.arange(nb, dtype=np.int32), rows)
-    if missing.size:
-        blocks = np.concatenate(
-            [blocks, np.zeros((missing.size, block, block), dtype=dtype)])
-        rows = np.concatenate([rows, missing])
-        cols = np.concatenate([cols, np.zeros(missing.size, np.int32)])
-        order = np.argsort(rows, kind="stable")
-        blocks, rows, cols = blocks[order], rows[order], cols[order]
+    if not rowwalk:
+        # every row block needs ≥1 tile: a grid that never visits a row
+        # block leaves its out tile UNINITIALIZED (out buffers are not
+        # zeroed) — append zero tiles for uncovered rows, keep rows sorted.
+        # (The row-walk kernel zero-inits every row itself — no fillers.)
+        missing = np.setdiff1d(np.arange(nb, dtype=np.int32), rows)
+        if missing.size:
+            blocks = np.concatenate(
+                [blocks, np.zeros((missing.size, block, block), dtype=dtype)])
+            rows = np.concatenate([rows, missing])
+            cols = np.concatenate([cols, np.zeros(missing.size, np.int32)])
+            order = np.argsort(rows, kind="stable")
+            blocks, rows, cols = blocks[order], rows[order], cols[order]
     t = None
     if with_transpose:
         t = build_bsr(receivers, senders, weight, num_nodes_padded, block,
                       with_transpose=False, dtype=dtype,
-                      tile_dtype=tile_dtype)
+                      tile_dtype=tile_dtype, rowwalk=rowwalk)
     blocks_dev = jnp.asarray(blocks)
     if tile_dtype is not None:
         blocks_dev = blocks_dev.astype(tile_dtype)
+    row_splits = jnp.asarray(
+        np.searchsorted(rows, np.arange(nb + 1)).astype(np.int32))
     return BsrMatrix(
         blocks=blocks_dev, rows=jnp.asarray(rows), cols=jnp.asarray(cols),
-        num_row_blocks=nb, num_col_blocks=nb, transpose=t)
+        num_row_blocks=nb, num_col_blocks=nb, transpose=t,
+        row_splits=row_splits, rowwalk=rowwalk)
 
 
 def _kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
@@ -143,15 +151,92 @@ def _bsr_spmm_fwd(blocks, rows, cols, x, interpret=False):
     )(rows, cols, blocks, x)
 
 
+def _rowwalk_kernel(splits_ref, cols_ref, blocks_hbm, x_hbm, o_ref,
+                    a_buf, x_buf, acc, sems):
+    """One grid step = one 128-row output block: walk its tiles with
+    double-buffered A-tile + X-block DMAs, accumulate in f32 VMEM."""
+    r = pl.program_id(0)
+    lo = splits_ref[r]
+    nt = splits_ref[r + 1] - lo
+
+    def copies(j, slot):
+        k = lo + j
+        return (pltpu.make_async_copy(blocks_hbm.at[k], a_buf.at[slot],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(cols_ref[k] * BLOCK, BLOCK), :],
+                    x_buf.at[slot], sems.at[slot, 1]))
+
+    @pl.when(nt > 0)
+    def _():
+        a0, x0 = copies(0, 0)
+        a0.start()
+        x0.start()
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nt)
+        def _():
+            a1, x1 = copies(j + 1, 1 - slot)
+            a1.start()
+            x1.start()
+
+        aj, xj = copies(j, slot)
+        aj.wait()
+        xj.wait()
+        acc[:] += jnp.dot(a_buf[slot], x_buf[slot],
+                          preferred_element_type=jnp.float32)
+        return 0
+
+    acc[:] = jnp.zeros_like(acc)
+    jax.lax.fori_loop(0, nt, body, 0)
+    o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bsr_spmm_rowwalk(blocks, row_splits, cols, x, interpret=False):
+    n_pad, feat = x.shape
+    nb = row_splits.shape[0] - 1
+    return pl.pallas_call(
+        _rowwalk_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # blocks stay in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            ],
+            out_specs=pl.BlockSpec((BLOCK, feat),
+                                   lambda r, splits, cols: (r, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, BLOCK, BLOCK), blocks.dtype),
+                pltpu.VMEM((2, BLOCK, feat), x.dtype),
+                pltpu.VMEM((BLOCK, feat), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feat), x.dtype),
+        interpret=interpret,
+    )(row_splits, cols, blocks, x)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _fwd_dispatch(b: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    if b.rowwalk:
+        return _bsr_spmm_rowwalk(b.blocks, b.row_splits, b.cols, x,
+                                 interpret=_use_interpret())
+    return _bsr_spmm_fwd(b.blocks, b.rows, b.cols, x,
+                         interpret=_use_interpret())
 
 
 @jax.custom_vjp
 def bsr_spmm(bsr: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """out = A·x with A in BCSR form. (N_pad, F) → (N_pad, F)."""
-    return _bsr_spmm_fwd(bsr.blocks, bsr.rows, bsr.cols, x,
-                         interpret=_use_interpret())
+    return _fwd_dispatch(bsr, x)
 
 
 def _fwd(bsr, x):
@@ -161,7 +246,7 @@ def _fwd(bsr, x):
 def _bwd(bsr, g):
     assert bsr.transpose is not None, "build_bsr(with_transpose=True) required for grad"
     t = bsr.transpose
-    dx = _bsr_spmm_fwd(t.blocks, t.rows, t.cols, g, interpret=_use_interpret())
+    dx = _fwd_dispatch(t.replace(rowwalk=bsr.rowwalk), g)
     return None, dx
 
 

@@ -61,3 +61,35 @@ class TestSegMM:
         g_out = jax.grad(lambda xx: jnp.sum(hybrid_spmm(hyb_k, xx) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestRowWalk:
+    def test_rowwalk_matches_gridwalk(self):
+        """Row-walk BSR kernel (double-buffered A/X DMAs, f32 accumulate)
+        matches the grid-walk kernel and the dense oracle, incl. empty
+        block-rows (no filler tiles needed) and grads."""
+        from fitgnn_tpu.ops.pallas.bsr_spmm import build_bsr, bsr_spmm
+        rng = np.random.default_rng(3)
+        n, e, f = 768, 5000, 64
+        # leave block-row 2 empty on purpose
+        r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+        r = np.where((r // 128) == 2, r - 128, r)
+        s = (r // 128) * 128 + rng.integers(0, 128, e)
+        w = rng.random(e).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+        grid = build_bsr(s, r, w, n)
+        walk = build_bsr(s, r, w, n, rowwalk=True)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+
+        o_grid = np.asarray(bsr_spmm(grid, x))
+        o_walk = np.asarray(bsr_spmm(walk, x))
+        ref = np.asarray(jnp.asarray(a) @ x)
+        np.testing.assert_allclose(o_walk, ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(o_walk, o_grid, rtol=1e-4, atol=1e-4)
+
+        g1 = jax.grad(lambda xx: jnp.sum(bsr_spmm(walk, xx) ** 2))(x)
+        g2 = jax.grad(lambda xx: jnp.sum((jnp.asarray(a) @ xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-2)
