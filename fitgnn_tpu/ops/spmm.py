@@ -47,5 +47,8 @@ def spmm(edge_weight, senders, receivers, x, num_nodes, *, operator=None):
         if name == "EllMatrix":
             from fitgnn_tpu.ops.ell_spmm import ell_spmm
             return ell_spmm(operator, x)
+        if name == "SegMM":
+            from fitgnn_tpu.ops.pallas.coo_segmm import segmm_spmm
+            return segmm_spmm(operator, x)
         raise TypeError(f"unknown SpMM operator {name}")
     return spmm_coo(edge_weight, senders, receivers, x, num_nodes)
