@@ -313,7 +313,6 @@ def _cmd_train_baseline(args) -> int:
     from fitgnn_tpu.graph import build_graph
     from fitgnn_tpu.models import NodeModel
     from fitgnn_tpu.train import steps
-    from fitgnn_tpu.train.losses import masked_accuracy
     from fitgnn_tpu.utils import results as R
     import numpy as _np
 

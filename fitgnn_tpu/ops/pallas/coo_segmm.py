@@ -22,8 +22,6 @@ This is the "fuse stragglers via scalar-prefetched edge lists" path
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ the EXACT sharded GCN aggregation — it is then the overlap-split version of
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,7 @@ def main():
     from fitgnn_tpu.data.graph_level import (collate_graph_level_batches,
                                              prepare_graph_sample)
     from fitgnn_tpu.data.synthetic import random_graph_dataset
-    from fitgnn_tpu.train.graph_loop import (GraphTaskConfig, graph_train_step,
-                                             run_graph_task)
+    from fitgnn_tpu.train.graph_loop import graph_train_step
 
     t0 = time.time()
     graphs, y = random_graph_dataset(num_graphs=args.graphs, seed=0)
