@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--baseline", action="store_true")
     t.add_argument("--run_intermediate_inference", action="store_true")
     t.add_argument("--intermediate_inference_freq", type=int, default=10)
+    t.add_argument("--early_stopping", type=int, default=0,
+                   help="patience in epochs on the val loss; 0 = off "
+                        "(the reference parses this flag but never uses "
+                        "it — here it actually stops)")
     t.add_argument("--num_devices", type=int, default=1,
                    help="shard node-task training over a device mesh "
                         "(1 = single-chip)")
@@ -274,7 +278,8 @@ def cmd_train(args) -> int:
         intermediate_csv_path=(
             f"results/{args.dataset}_intermediate_inference.csv"
             if args.run_intermediate_inference else None),
-        num_devices=args.num_devices)
+        num_devices=args.num_devices,
+        early_stopping=args.early_stopping)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     print(f"checkpoint saved: {save_path}")
     s = res.summary

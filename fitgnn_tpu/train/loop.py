@@ -92,6 +92,10 @@ class NodeTaskConfig:
                                           # test_time appended per check
     num_devices: int = 1                  # >1: shard the Gs phase over the
                                           # subgraph axis (GD only)
+    early_stopping: int = 0               # patience in epochs on the val
+                                          # loss; 0 = off (the reference
+                                          # parses --early_stopping but
+                                          # never uses it, main.py:189)
 
 
 def _make_dist_steps(cfg, batches):
@@ -199,6 +203,7 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         best_val = np.inf
 
         if cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train"):
+            since_best = 0
             for epoch in range(cfg.epochs1):
                 rng, step_rng = jax.random.split(rng)
                 state, train_loss = steps.gc_train_step(
@@ -213,12 +218,18 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                 if val_loss < best_val or epoch == 0:
                     best_val = val_loss
                     best_params = state.params
+                    since_best = 0
+                else:
+                    since_best += 1
+                    if cfg.early_stopping and since_best >= cfg.early_stopping:
+                        break
 
         if cfg.exp_setup in ("Gs_train_2_Gs_infer", "Gc_train_2_Gs_train"):
             if cfg.exp_setup == "Gc_train_2_Gs_train":
                 # weight transfer: resume from the best Gc params
                 state = state.replace(params=best_params)
             best_val = np.inf
+            since_best = 0
             for epoch in range(cfg.epochs2):
                 rng, step_rng = jax.random.split(rng)
                 state, train_loss = gs_train_fn(state, step_rng)
@@ -230,6 +241,12 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                 if val_loss < best_val or epoch == 0:
                     best_val = val_loss
                     best_params = state.params
+                    since_best = 0
+                else:
+                    since_best += 1
+                    if (cfg.early_stopping
+                            and since_best >= cfg.early_stopping):
+                        break
                 if (cfg.run_intermediate_inference
                         and epoch % cfg.intermediate_inference_freq == 0):
                     # periodic test with the best-so-far params

@@ -252,3 +252,23 @@ class TestHierarchicalCli:
         from fitgnn_tpu.cli.main import checkpoint_path
         assert (tmp_path / checkpoint_path("node_cls", "out",
                                            baseline=True)).exists()
+
+
+class TestEarlyStopping:
+    def test_patience_stops_training(self, tmp_path, toy_root, capsys):
+        """--early_stopping stops the epoch loop on a val-loss plateau (the
+        reference parses the flag but never uses it, main.py:189)."""
+        import json
+        rc = run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                     "--experiment", "random", "--runs", "1",
+                     "--hidden", "16", "--epochs1", "200", "--epochs2", "0",
+                     "--exp_setup", "Gc_train_2_Gs_infer", "--train_fitgnn",
+                     "--early_stopping", "3")
+        assert rc == 0
+        # the scalar log shows how many Gc epochs actually ran
+        logs = list((tmp_path / "save" / "node_cls" / "out").rglob(
+            "scalars*.jsonl"))
+        assert logs, "scalar log expected"
+        epochs = sum(1 for line in logs[0].read_text().splitlines()
+                     if json.loads(line).get("tag") == "Gc_val_loss")
+        assert epochs < 200, f"early stopping never fired ({epochs} epochs)"
