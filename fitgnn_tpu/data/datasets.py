@@ -504,8 +504,22 @@ def load_ogbn(root: str, name: str) -> NodeDataset:
 # ---------------------------------------------------------------------------
 
 def load_node_dataset(name: str, root: str = "./dataset") -> NodeDataset:
-    """Load a node-task dataset by reference name; tries the npz cache first."""
+    """Load a node-task dataset by reference name; tries the npz cache first.
+
+    ``random`` / ``random_<N>``: the reference's synthetic scalability ring
+    (each node linked to its 1- and 2-hop ring neighbours, scalar integer
+    features — ``save_graphs.py:98-113``), generated on the fly."""
     key = name.lower()
+    if key == "random" or key.startswith("random_"):
+        n = int(key.split("_", 1)[1]) if "_" in key else 1000
+        rng = np.random.default_rng(0)
+        i = np.arange(n, dtype=np.int64)
+        senders = np.concatenate([i, (i + 1) % n, i, (i + 2) % n])
+        receivers = np.concatenate([(i + 1) % n, i, (i + 2) % n, i])
+        return NodeDataset(
+            name=key, x=rng.integers(0, 10, (n, 1)).astype(np.float32),
+            senders=senders, receivers=receivers,
+            y=np.zeros(n, dtype=np.int64))
     cache = os.path.join(root, key, f"{key}.npz")
     if os.path.exists(cache):
         return load_npz_cache(cache, key)

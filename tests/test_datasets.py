@@ -239,3 +239,13 @@ class TestLobpcgFallback:
         l_a, _ = bottom_k_eigen(g, 8, method="arpack")
         l_l, _ = bottom_k_eigen(g, 8, method="lobpcg")
         np.testing.assert_allclose(l_l, l_a, rtol=1e-3, atol=1e-4)
+
+
+class TestRandomRing:
+    def test_synthetic_ring_dataset(self):
+        from fitgnn_tpu.data.datasets import load_node_dataset
+        ds = load_node_dataset("random_500")
+        assert ds.x.shape == (500, 1)
+        assert len(ds.senders) == 4 * 500   # 1- and 2-hop ring, both dirs
+        # every node touches exactly 4 ring edges as sender
+        assert np.bincount(ds.senders, minlength=500).max() == 4
