@@ -41,12 +41,27 @@ BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED",
                                 str(int(time.time()) % 999983)))
 BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
 BENCH_ROWWALK = os.environ.get("FITGNN_BENCH_ROWWALK", "0") == "1"
+# GCNConv (default, hybrid BCSR operator + layer-0 preagg) or GATConv /
+# SAGEConv / GINConv (segment-op paths; no preagg — diagnostic rows for
+# PERFORMANCE.md, the headline metric stays GCN)
+BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
+# 1 = time the STEPS steps as ONE jitted lax.scan program (the production
+# fused-epochs path, train/steps.py:gc_train_epochs_scan) instead of STEPS
+# chained dispatches — isolates device step time from per-dispatch host
+# overhead (~2-3 ms through the axon tunnel)
+BENCH_SCAN = os.environ.get("FITGNN_BENCH_SCAN", "0") == "1"
+# tiles per BSR grid step (build_bsr group=): >1 amortizes per-grid-step
+# overhead at the cost of zero-tile padding in short block-rows
+BENCH_TILE_GROUP = int(os.environ.get("FITGNN_BENCH_TILE_GROUP", "1"))
 # component ablations (diagnostics only — vs_baseline is not honest then):
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
 BENCH_ABLATE = os.environ.get("FITGNN_BENCH_ABLATE", "")
 
-NUM_NODES = 169_344          # 1323 x 128 — ogbn-arxiv scale
+# graph size is overridable for CPU smoke tests of bench code paths only —
+# the headline metric is defined at the default (arxiv-scale) size
+NUM_NODES = int(os.environ.get("FITGNN_BENCH_NODES",
+                               "169344"))  # 1323 x 128 — ogbn-arxiv scale
 COMM = 128
 AVG_DEGREE = 7
 NUM_FEATURES = 128
@@ -109,7 +124,8 @@ def main():
                        np.asarray(g.edge_weight), g.num_nodes_padded,
                        min_block_edges=BENCH_TILE_THRESHOLD,
                        tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM,
-                       use_rowwalk=BENCH_ROWWALK)
+                       use_rowwalk=BENCH_ROWWALK,
+                       tile_group=BENCH_TILE_GROUP)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)
@@ -128,40 +144,61 @@ def main():
     import jax.numpy as jnp
     from fitgnn_tpu.models.models import preaggregate_features
     dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
-    model = NodeModel(layer_name="GCNConv", hidden=HIDDEN, num_layers=2,
+    preagg = BENCH_LAYER == "GCNConv"
+    model = NodeModel(layer_name=BENCH_LAYER, hidden=HIDDEN, num_layers=2,
                       out_dim=NUM_CLASSES, dtype=dtype,
-                      first_layer_preaggregated=True,
+                      first_layer_preaggregated=preagg,
                       dropout_rate=BENCH_DROPOUT,
                       fused_dropout=BENCH_FUSED_DROPOUT)
-    # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact — input
-    # features are constant, Â(X·W) = (Â·X)·W)
-    x_pre = preaggregate_features(g)
-    if dtype is not None:
-        x_pre = x_pre.astype(dtype)   # the bf16 stack consumes it directly
-    x_pre.block_until_ready()
-    g = g._replace(x=x_pre)
+    if preagg:
+        # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact —
+        # input features are constant, Â(X·W) = (Â·X)·W)
+        x_pre = preaggregate_features(g)
+        if dtype is not None:
+            x_pre = x_pre.astype(dtype)  # the bf16 stack consumes it
+        x_pre.block_until_ready()
+        g = g._replace(x=x_pre)
     state = create_state(model, jax.random.PRNGKey(BENCH_SEED), g.x, g)
     yv, mv = g.y, g.train_mask
     key = jax.random.PRNGKey(BENCH_SEED + 1)
 
-    # warm-up / compile
-    state, loss = gc_train_step(state, g, yv, mv, key, "classification")
-    _ = float(loss)
-    print("compiled; timing...", file=sys.stderr)
+    if BENCH_SCAN:
+        def body(st, r):
+            return gc_train_step(st, g, yv, mv, r, "classification")
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, loss = gc_train_step(state, g, yv, mv,
-                                    jax.random.fold_in(key, i),
-                                    "classification")
-    _ = float(loss)  # scalar fetch drains the dispatch queue
-    elapsed = time.perf_counter() - t0
+        @jax.jit
+        def run_steps(st, k):
+            return jax.lax.scan(body, st, jax.random.split(k, STEPS))
+
+        # warm-up / compile (advances the state — the timed program re-runs
+        # on fresh inputs, so the tunnel result cache cannot serve it)
+        state, losses = run_steps(state, key)
+        _ = float(losses[-1])
+        print("compiled; timing...", file=sys.stderr)
+        t0 = time.perf_counter()
+        state, losses = run_steps(state, jax.random.fold_in(key, 1))
+        _ = float(losses[-1])  # scalar fetch drains the dispatch queue
+        elapsed = time.perf_counter() - t0
+    else:
+        # warm-up / compile
+        state, loss = gc_train_step(state, g, yv, mv, key, "classification")
+        _ = float(loss)
+        print("compiled; timing...", file=sys.stderr)
+
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, loss = gc_train_step(state, g, yv, mv,
+                                        jax.random.fold_in(key, i),
+                                        "classification")
+        _ = float(loss)  # scalar fetch drains the dispatch queue
+        elapsed = time.perf_counter() - t0
 
     step_time = elapsed / STEPS
     edges_per_sec = num_edges / step_time
     print(f"step {step_time*1e3:.1f} ms", file=sys.stderr)
+    tag = BENCH_LAYER.replace("Conv", "").lower()
     print(json.dumps({
-        "metric": "gcn_train_edges_per_sec_per_chip",
+        "metric": f"{tag}_train_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / REF_EDGES_PER_SEC, 4),

@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="patience in epochs on the val loss; 0 = off "
                         "(the reference parses this flag but never uses "
                         "it — here it actually stops)")
+    t.add_argument("--fused_epochs", action="store_true",
+                   help="run the Gc phase as one jitted lax.scan over "
+                        "epochs (one dispatch per phase; ignored when "
+                        "--early_stopping is set)")
     t.add_argument("--num_devices", type=int, default=1,
                    help="shard node-task training over a device mesh "
                         "(1 = single-chip)")
@@ -279,7 +283,8 @@ def cmd_train(args) -> int:
             f"results/{args.dataset}_intermediate_inference.csv"
             if args.run_intermediate_inference else None),
         num_devices=args.num_devices,
-        early_stopping=args.early_stopping)
+        early_stopping=args.early_stopping,
+        fused_epochs=args.fused_epochs)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     print(f"checkpoint saved: {save_path}")
     s = res.summary

@@ -61,7 +61,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  block: int = BLOCK, tile_dtype=None,
                  use_segmm: bool = False,
                  use_diag: bool = False,
-                 use_rowwalk: bool = False) -> HybridSpmm:
+                 use_rowwalk: bool = False,
+                 tile_group: int = 1) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
@@ -94,7 +95,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
         bsr = build_bsr(senders[bsr_mask].astype(np.int64),
                         receivers[bsr_mask].astype(np.int64),
                         weight[bsr_mask], num_nodes_padded, block=block,
-                        tile_dtype=tile_dtype, rowwalk=use_rowwalk)
+                        tile_dtype=tile_dtype, rowwalk=use_rowwalk,
+                        group=tile_group)
 
     cs, cr, cw = (senders[~dense_all], receivers[~dense_all],
                   weight[~dense_all])

@@ -43,6 +43,10 @@ class BsrMatrix:
     row_splits: Optional[jnp.ndarray] = None  # (NB+1,) CSR row pointers into
                                # blocks/cols — drives the row-walk kernel
     rowwalk: bool = flax.struct.field(pytree_node=False, default=False)
+    group: int = flax.struct.field(pytree_node=False, default=1)
+                               # tiles per grid step (each block-row's tile
+                               # run is zero-padded to a multiple of this;
+                               # amortizes the per-grid-step pipeline cost)
 
     @property
     def nnz_blocks(self) -> int:
@@ -56,7 +60,8 @@ class BsrMatrix:
 def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
               num_nodes_padded: int, block: int = BLOCK,
               with_transpose: bool = True, dtype=np.float32,
-              tile_dtype=None, rowwalk: bool = False) -> BsrMatrix:
+              tile_dtype=None, rowwalk: bool = False,
+              group: int = 1) -> BsrMatrix:
     """Host-side BCSR construction from a COO edge list (numpy).
 
     ``num_nodes_padded`` must be a multiple of ``block``.  Edges pointing at
@@ -91,11 +96,30 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
             cols = np.concatenate([cols, np.zeros(missing.size, np.int32)])
             order = np.argsort(rows, kind="stable")
             blocks, rows, cols = blocks[order], rows[order], cols[order]
+    if group > 1 and not rowwalk:
+        # pad every block-row's tile run to a multiple of ``group`` with
+        # zero tiles, so a grid step's tiles never straddle two out rows.
+        # Padding tiles reuse the row's first real column id — a zero
+        # matmul, but a coherent X-block fetch.
+        counts = np.bincount(rows, minlength=nb)      # ≥1 per row (fillers)
+        padded = -(-counts // group) * group
+        kp = int(padded.sum())
+        starts_new = np.concatenate(([0], np.cumsum(padded)))[:-1]
+        starts_old = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        new_blocks = np.zeros((kp, block, block), dtype=dtype)
+        new_rows = np.repeat(np.arange(nb, dtype=np.int32), padded)
+        first_col = cols[starts_old]                  # rows is sorted
+        new_cols = np.repeat(first_col, padded)
+        idx = starts_new[rows] + (np.arange(rows.size) - starts_old[rows])
+        new_blocks[idx] = blocks
+        new_cols[idx] = cols
+        blocks, rows, cols = new_blocks, new_rows, new_cols
+
     t = None
     if with_transpose:
         t = build_bsr(receivers, senders, weight, num_nodes_padded, block,
                       with_transpose=False, dtype=dtype,
-                      tile_dtype=tile_dtype, rowwalk=rowwalk)
+                      tile_dtype=tile_dtype, rowwalk=rowwalk, group=group)
     blocks_dev = jnp.asarray(blocks)
     if tile_dtype is not None:
         blocks_dev = blocks_dev.astype(tile_dtype)
@@ -104,7 +128,7 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     return BsrMatrix(
         blocks=blocks_dev, rows=jnp.asarray(rows), cols=jnp.asarray(cols),
         num_row_blocks=nb, num_col_blocks=nb, transpose=t,
-        row_splits=row_splits, rowwalk=rowwalk)
+        row_splits=row_splits, rowwalk=rowwalk, group=group)
 
 
 def _kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
@@ -149,6 +173,70 @@ def _bsr_spmm_fwd(blocks, rows, cols, x, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n_pad, feat), x.dtype),
         interpret=interpret,
     )(rows, cols, blocks, x)
+
+
+def _make_grouped_kernel(t: int):
+    """Kernel processing ``t`` same-row tiles per grid step: one (t·tile)
+    A-block load + ``t`` X-block loads per step, amortizing the per-step
+    pipeline/index-map overhead that dominates at ~1.7 tiles per block-row
+    (PERFORMANCE.md)."""
+
+    def kernel(rows_ref, cols_ref, a_ref, *refs):
+        x_refs, o_ref = refs[:t], refs[t]
+        kg = pl.program_id(1)
+        row = rows_ref[kg]
+        prev_row = rows_ref[jnp.maximum(kg - 1, 0)]
+        is_first = jnp.logical_or(kg == 0, row != prev_row)
+
+        @pl.when(is_first)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        acc = None
+        for i in range(t):
+            a = a_ref[0, i]
+            xb = x_refs[i][:]
+            if a.dtype == jnp.bfloat16:
+                xb = xb.astype(jnp.bfloat16)
+            d = jnp.dot(a, xb, preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        o_ref[:] += acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def _bsr_spmm_fwd_grouped(blocks, rows, cols, x, group, interpret=False):
+    n_pad, feat = x.shape
+    k = blocks.shape[0]
+    assert k % group == 0, "build_bsr(group=...) pads rows to the group size"
+    kg = k // group
+    ft = min(feat, 512)
+    assert feat % ft == 0, f"feature dim {feat} must divide into tiles of {ft}"
+    grid = (feat // ft, kg)
+    blocks_g = blocks.reshape(kg, group, BLOCK, BLOCK)
+    rows_g = rows[::group]
+
+    def x_spec(i):
+        return pl.BlockSpec(
+            (BLOCK, ft),
+            lambda j, g, rows, cols, i=i: (cols[g * group + i], j))
+
+    return pl.pallas_call(
+        _make_grouped_kernel(group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, BLOCK, BLOCK),
+                             lambda j, g, rows, cols: (g, 0, 0, 0)),
+            ] + [x_spec(i) for i in range(group)],
+            out_specs=pl.BlockSpec((BLOCK, ft),
+                                   lambda j, g, rows, cols: (rows[g], j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feat), x.dtype),
+        interpret=interpret,
+    )(rows_g, cols, blocks_g, *([x] * group))
 
 
 def _rowwalk_kernel(splits_ref, cols_ref, blocks_hbm, x_hbm, o_ref,
@@ -229,6 +317,9 @@ def _fwd_dispatch(b: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
     if b.rowwalk:
         return _bsr_spmm_rowwalk(b.blocks, b.row_splits, b.cols, x,
                                  interpret=_use_interpret())
+    if b.group > 1:
+        return _bsr_spmm_fwd_grouped(b.blocks, b.rows, b.cols, x, b.group,
+                                     interpret=_use_interpret())
     return _bsr_spmm_fwd(b.blocks, b.rows, b.cols, x,
                          interpret=_use_interpret())
 

@@ -96,6 +96,13 @@ class NodeTaskConfig:
                                           # loss; 0 = off (the reference
                                           # parses --early_stopping but
                                           # never uses it, main.py:189)
+    fused_epochs: bool = False            # run the Gc phase as ONE jitted
+                                          # lax.scan over epochs (best-val
+                                          # tracking in the carry) — one
+                                          # dispatch per phase instead of
+                                          # 2 per epoch; incompatible with
+                                          # early_stopping (which needs the
+                                          # host to see val losses)
 
 
 def _make_dist_steps(cfg, batches):
@@ -203,26 +210,42 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         best_val = np.inf
 
         if cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train"):
-            since_best = 0
-            for epoch in range(cfg.epochs1):
+            if cfg.fused_epochs and not cfg.early_stopping:
                 rng, step_rng = jax.random.split(rng)
-                state, train_loss = steps.gc_train_step(
-                    state, coarse.graph, coarse.y_train, coarse.train_mask,
-                    step_rng, cfg.task, reduction=cfg.loss_reduction)
-                val_loss, _ = steps.gc_eval_step(
-                    state, coarse.graph, coarse.y_val, coarse.val_mask,
-                    cfg.task)
-                val_loss = float(val_loss)
-                log("Gc_train_loss", float(train_loss), epoch)
-                log("Gc_val_loss", val_loss, epoch)
-                if val_loss < best_val or epoch == 0:
-                    best_val = val_loss
-                    best_params = state.params
-                    since_best = 0
-                else:
-                    since_best += 1
-                    if cfg.early_stopping and since_best >= cfg.early_stopping:
-                        break
+                state, best_params, best_val, tr_losses, val_losses = (
+                    steps.gc_train_epochs_scan(
+                        state, coarse.graph, coarse.y_train,
+                        coarse.train_mask, coarse.y_val, coarse.val_mask,
+                        step_rng, cfg.epochs1, cfg.task,
+                        reduction=cfg.loss_reduction))
+                best_val = float(best_val)
+                for epoch, (tl, vl) in enumerate(zip(np.asarray(tr_losses),
+                                                     np.asarray(val_losses))):
+                    log("Gc_train_loss", float(tl), epoch)
+                    log("Gc_val_loss", float(vl), epoch)
+            else:
+                since_best = 0
+                for epoch in range(cfg.epochs1):
+                    rng, step_rng = jax.random.split(rng)
+                    state, train_loss = steps.gc_train_step(
+                        state, coarse.graph, coarse.y_train,
+                        coarse.train_mask, step_rng, cfg.task,
+                        reduction=cfg.loss_reduction)
+                    val_loss, _ = steps.gc_eval_step(
+                        state, coarse.graph, coarse.y_val, coarse.val_mask,
+                        cfg.task)
+                    val_loss = float(val_loss)
+                    log("Gc_train_loss", float(train_loss), epoch)
+                    log("Gc_val_loss", val_loss, epoch)
+                    if val_loss < best_val or epoch == 0:
+                        best_val = val_loss
+                        best_params = state.params
+                        since_best = 0
+                    else:
+                        since_best += 1
+                        if (cfg.early_stopping
+                                and since_best >= cfg.early_stopping):
+                            break
 
         if cfg.exp_setup in ("Gs_train_2_Gs_infer", "Gc_train_2_Gs_train"):
             if cfg.exp_setup == "Gc_train_2_Gs_train":

@@ -81,6 +81,49 @@ def gc_eval_step(state: TrainState, g: Graph, y, mask, task: str):
     return loss, acc
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_epochs", "task", "reduction"))
+def gc_train_epochs_scan(state: TrainState, g: Graph, y_train, train_mask,
+                         y_val, val_mask, rng, n_epochs: int, task: str,
+                         reduction: str = "mean"):
+    """The whole Gc phase as ONE program: ``lax.scan`` over epochs with the
+    per-epoch val eval and best-val parameter tracking folded into the scan
+    carry.  Semantically identical to the per-epoch ``gc_train_step`` +
+    ``gc_eval_step`` loop (reference ``run.py:329-375``), but a single
+    dispatch — host round-trips (the dominant per-step overhead for
+    sub-30 ms steps) are paid once per phase instead of once per epoch.
+
+    Returns ``(state, best_params, best_val, train_losses, val_losses)``
+    with per-epoch loss traces for logging."""
+    loss_fn = _loss_fn(task, reduction)
+    val_loss_fn = _loss_fn(task)
+
+    def epoch(carry, step_rng):
+        st, best_params, best_val = carry
+
+        def loss(params):
+            out = st.apply_fn(params, g.x, g, train=True,
+                              rngs={"dropout": step_rng})
+            return loss_fn(out, y_train, train_mask)
+
+        train_loss, grads = jax.value_and_grad(loss)(st.params)
+        st = st.apply_gradients(grads=grads)
+        out = st.apply_fn(st.params, g.x, g)
+        val_loss = val_loss_fn(out, y_val, val_mask)
+        improved = val_loss < best_val
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old),
+            st.params, best_params)
+        best_val = jnp.where(improved, val_loss, best_val)
+        return (st, best_params, best_val), (train_loss, val_loss)
+
+    rngs = jax.random.split(rng, n_epochs)
+    init = (state, state.params, jnp.asarray(jnp.inf, dtype=jnp.float32))
+    (state, best_params, best_val), (tr, vl) = jax.lax.scan(
+        epoch, init, rngs)
+    return state, best_params, best_val, tr, vl
+
+
 # ---------------------------------------------------------------------------
 # Gs (subgraph batch) steps
 # ---------------------------------------------------------------------------

@@ -107,3 +107,51 @@ class TestSubspaceAngles:
         C = coarsening_matrix(np.arange(4))
         errs = subspace_angles(W, C, kmax=3)
         np.testing.assert_allclose(errs, 0.0, atol=1e-8)
+
+
+class TestTileGroup:
+    """Grouped BSR kernel (multiple tiles per grid step) must be exact."""
+
+    def test_grouped_matches_dense(self, rng):
+        n, f = 512, 128
+        s, r, w = community_coo(rng, n)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        want = a @ x
+        for group in (2, 4):
+            h = build_hybrid(s, r, w, n, min_block_edges=50,
+                             tile_group=group)
+            assert h.bsr is not None
+            assert h.bsr.group == group
+            assert h.bsr.blocks.shape[0] % group == 0
+            out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
+            np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-3)
+
+    def test_grouped_gradient(self, rng):
+        n, f = 256, 128
+        s, r, w = community_coo(rng, n, deg=10, internal=0.9)
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        h = build_hybrid(s, r, w, n, min_block_edges=30, tile_group=2)
+        assert h.bsr is not None
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        a = jnp.asarray(a)
+        g1 = jax.grad(lambda xx: jnp.sum(hybrid_spmm(h, xx) ** 2))(x)
+        g2 = jax.grad(lambda xx: jnp.sum((a @ xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_grouped_uneven_rows(self, rng):
+        # rows with 1 tile force zero-padding; empty block-rows force fillers
+        n, f = 1024, 64
+        s = rng.integers(0, 256, 4000).astype(np.int64)   # only rows 0-1 busy
+        r = rng.integers(0, 256, 4000).astype(np.int64)
+        w = rng.normal(size=4000).astype(np.float32)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        h = build_hybrid(s, r, w, n, min_block_edges=10, tile_group=4)
+        assert h.bsr is not None
+        out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
+        np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)
