@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="patience in epochs on the val loss; 0 = off "
                         "(the reference parses this flag but never uses "
                         "it — here it actually stops)")
+    t.add_argument("--hybrid_spmm", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="attach the Leiden-reordered BCSR/COO hybrid "
+                        "aggregation operator to full-graph (--baseline) "
+                        "training; auto = on for GCNConv at >=65k nodes")
     t.add_argument("--fused_epochs", action="store_true",
                    help="run the Gc phase as one jitted lax.scan over "
                         "epochs (one dispatch per phase; ignored when "
@@ -338,8 +343,19 @@ def _cmd_train_baseline(args) -> int:
             raise SystemExit("distributed baseline supports node_cls")
         return _cmd_train_baseline_dist(args, ds, train, val, test,
                                         num_classes)
-    g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,
-                    train_mask=train, val_mask=val, test_mask=test)
+    from fitgnn_tpu.graph.optimize import (build_optimized_graph,
+                                           should_use_hybrid)
+    if should_use_hybrid(ds.num_nodes, args.layer_name, args.hybrid_spmm):
+        # full-graph fast path: Leiden reorder + BCSR/COO hybrid operator
+        # (exact — node permutation; see graph/optimize.py)
+        g, _ = build_optimized_graph(
+            ds.x, ds.senders, ds.receivers, y=ds.y, train_mask=train,
+            val_mask=val, test_mask=test, seed=args.seed)
+        print(f"hybrid operator: {0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks}"
+              f" dense tiles, {g.aux.num_coo_edges} straggler edges")
+    else:
+        g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,
+                        train_mask=train, val_mask=val, test_mask=test)
     task = "classification" if classify else "regression"
     model = NodeModel(layer_name=args.layer_name, hidden=args.hidden,
                       num_layers=args.num_layers1,

@@ -1,0 +1,55 @@
+"""build_optimized_graph (Leiden reorder + hybrid operator) must be an
+exact node permutation of the plain path: same forward outputs and
+gradients, rows mapped back through ``order``."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fitgnn_tpu.data.synthetic import sbm_graph
+from fitgnn_tpu.graph import build_graph
+from fitgnn_tpu.graph.optimize import (build_optimized_graph,
+                                       should_use_hybrid)
+from fitgnn_tpu.models import NodeModel
+from fitgnn_tpu.train.losses import masked_nll
+
+
+def test_forward_and_grad_match_plain():
+    x, s, r, y = sbm_graph(num_nodes=640, num_classes=4, num_features=16,
+                           p_in=0.1, p_out=0.01, seed=3)
+    train = np.zeros(640, dtype=bool)
+    train[::3] = True
+    g_plain = build_graph(x, s, r, y=y, train_mask=train, node_pad_to=128)
+    g_opt, order = build_optimized_graph(
+        x, s, r, y=y, train_mask=train, min_block_edges=8, seed=0)
+    assert g_opt.aux is not None and g_opt.aux.bsr is not None
+
+    model = NodeModel(layer_name="GCNConv", hidden=16, num_layers=2,
+                      out_dim=4)
+    params = model.init(jax.random.PRNGKey(0), g_plain.x, g_plain)
+
+    out_plain = np.asarray(model.apply(params, g_plain.x, g_plain))
+    out_opt = np.asarray(model.apply(params, g_opt.x, g_opt))
+    # row i of the optimized graph is original node order[i]
+    np.testing.assert_allclose(out_opt[: len(order)], out_plain[order],
+                               rtol=2e-3, atol=2e-4)
+
+    def loss(p, gg):
+        out = model.apply(p, gg.x, gg)
+        return masked_nll(out, gg.y, gg.train_mask)
+
+    l1, gr1 = jax.value_and_grad(loss)(params, g_plain)
+    l2, gr2 = jax.value_and_grad(loss)(params, g_opt)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gr1),
+                    jax.tree_util.tree_leaves(gr2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_should_use_hybrid_gate():
+    assert should_use_hybrid(100_000, "GCNConv", "auto")
+    assert not should_use_hybrid(1_000, "GCNConv", "auto")
+    assert not should_use_hybrid(100_000, "GATConv", "auto")
+    assert should_use_hybrid(1_000, "GCNConv", "on")
+    assert not should_use_hybrid(100_000, "GCNConv", "off")
