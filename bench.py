@@ -53,6 +53,10 @@ BENCH_SCAN = os.environ.get("FITGNN_BENCH_SCAN", "0") == "1"
 # tiles per BSR grid step (build_bsr group=): >1 amortizes per-grid-step
 # overhead at the cost of zero-tile padding in short block-rows
 BENCH_TILE_GROUP = int(os.environ.get("FITGNN_BENCH_TILE_GROUP", "1"))
+# tile edge length (multiple of 128): larger tiles cut Pallas grid steps on
+# block-diagonal-dominant adjacency; retune FITGNN_BENCH_THRESHOLD with it
+# (break-even edges/tile scales ~quadratically with the edge length)
+BENCH_BLOCK = int(os.environ.get("FITGNN_BENCH_BLOCK", "128"))
 # component ablations (diagnostics only — vs_baseline is not honest then):
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
@@ -115,7 +119,7 @@ def main():
     senders, receivers = inv[senders], inv[receivers]
 
     g = build_graph(x, senders.astype(np.int32), receivers.astype(np.int32),
-                    y=y, train_mask=train, node_pad_to=128)
+                    y=y, train_mask=train, node_pad_to=BENCH_BLOCK)
     num_edges = int(g.n_edge)
     import jax.numpy as _jnp
     tile_dtype = _jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
@@ -123,6 +127,7 @@ def main():
                        np.asarray(g.receivers, dtype=np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
                        min_block_edges=BENCH_TILE_THRESHOLD,
+                       block=BENCH_BLOCK,
                        tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM,
                        use_rowwalk=BENCH_ROWWALK,
                        tile_group=BENCH_TILE_GROUP)

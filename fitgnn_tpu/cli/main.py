@@ -266,6 +266,17 @@ def cmd_train(args) -> int:
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)
+    if part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer":
+        from fitgnn_tpu.graph.optimize import optimize_coarse, should_use_hybrid
+        if should_use_hybrid(int(part.coarse.graph.n_node), args.layer_name,
+                             args.hybrid_spmm):
+            # products-scale Gc graphs are full-graph training problems —
+            # same Leiden-reorder + hybrid fast path as --baseline
+            part.coarse = optimize_coarse(part.coarse, seed=args.seed)
+            hyb = part.coarse.graph.aux
+            print(f"Gc hybrid operator: "
+                  f"{0 if hyb.bsr is None else hyb.bsr.nnz_blocks} dense "
+                  f"tiles, {hyb.num_coo_edges} straggler edges")
 
     task = "classification" if args.task == "node_cls" else "regression"
     save_path = checkpoint_path(args.task, args.output_dir)

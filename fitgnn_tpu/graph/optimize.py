@@ -14,7 +14,7 @@ with the nodes).
 
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
 
 import numpy as np
 
@@ -64,6 +64,70 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        tile_dtype=tile_dtype, use_segmm=use_segmm,
                        tile_group=tile_group)
     return g._replace(aux=hyb), order
+
+
+def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
+                    use_segmm: bool = True, tile_group: int = 1,
+                    seed: int = 0):
+    """Leiden-reorder a ``CoarseData``'s graph and attach the hybrid
+    operator — the Gc phase at products scale (~165k metanodes,
+    reference ``main.py:247-267``) is a full-graph training problem and
+    gets the same fast path as ``--baseline``.
+
+    Only the coarse graph's own node order changes (plus its label/mask
+    views); nothing else indexes Gc rows — the Gs phase consumes the
+    transferred parameters, not Gc node ids."""
+    import jax.numpy as jnp
+
+    from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
+    from fitgnn_tpu.partition.community import hierarchical_community_order
+
+    g = coarse.graph
+    n_real = int(g.n_node)
+    n_pad = g.num_nodes_padded
+    s = np.asarray(g.senders, dtype=np.int64)
+    r = np.asarray(g.receivers, dtype=np.int64)
+    w = np.asarray(g.edge_weight)
+    e_real = int(g.n_edge)
+    order = hierarchical_community_order(s[:e_real], r[:e_real], n_real,
+                                         seed=seed)
+    perm = np.concatenate([order, np.arange(n_real, n_pad)])  # pads stay
+    inv = np.empty(n_pad, dtype=np.int64)
+    inv[perm] = np.arange(n_pad)
+    s2, r2 = inv[s], inv[r]
+    # Graph invariant: receivers sorted ascending (padding tail self-loops
+    # on the pad node keep weight 0, so they sort to the end naturally)
+    esort = np.argsort(r2, kind="stable")
+    s2, r2, w2 = s2[esort], r2[esort], w[esort]
+
+    # the BCSR tiles need a 128-multiple node count: extend node arrays
+    # with inert padding (zero features, False masks; existing padding
+    # edges keep their weight-0 self-loops on the old pad node)
+    extra = (-n_pad) % 128
+    n_pad += extra
+
+    def pnode(a):
+        if a is None:
+            return None
+        a = np.asarray(a)[perm]
+        if extra:
+            widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, widths)
+        return jnp.asarray(a)
+
+    hyb = build_hybrid(s2, r2, w2, n_pad, min_block_edges=min_block_edges,
+                       tile_dtype=tile_dtype, use_segmm=use_segmm,
+                       tile_group=tile_group)
+    g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
+                    receivers=jnp.asarray(r2, dtype=jnp.int32),
+                    edge_weight=jnp.asarray(w2), y=pnode(g.y),
+                    train_mask=pnode(g.train_mask),
+                    val_mask=pnode(g.val_mask),
+                    test_mask=pnode(g.test_mask), aux=hyb)
+    return dataclasses.replace(
+        coarse, graph=g2, y_train=pnode(coarse.y_train),
+        train_mask=pnode(coarse.train_mask), y_val=pnode(coarse.y_val),
+        val_mask=pnode(coarse.val_mask))
 
 
 def should_use_hybrid(num_nodes: int, layer_name: str,

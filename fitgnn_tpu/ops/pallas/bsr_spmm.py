@@ -47,6 +47,11 @@ class BsrMatrix:
                                # tiles per grid step (each block-row's tile
                                # run is zero-padded to a multiple of this;
                                # amortizes the per-grid-step pipeline cost)
+    block: int = flax.struct.field(pytree_node=False, default=BLOCK)
+                               # tile edge length (multiple of 128; larger
+                               # tiles cut grid steps ~quadratically on
+                               # block-diagonal-dominant adjacency at the
+                               # cost of lower tile occupancy)
 
     @property
     def nnz_blocks(self) -> int:
@@ -128,7 +133,7 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     return BsrMatrix(
         blocks=blocks_dev, rows=jnp.asarray(rows), cols=jnp.asarray(cols),
         num_row_blocks=nb, num_col_blocks=nb, transpose=t,
-        row_splits=row_splits, rowwalk=rowwalk, group=group)
+        row_splits=row_splits, rowwalk=rowwalk, group=group, block=block)
 
 
 def _kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
@@ -149,8 +154,8 @@ def _kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bsr_spmm_fwd(blocks, rows, cols, x, interpret=False):
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _bsr_spmm_fwd(blocks, rows, cols, x, block=BLOCK, interpret=False):
     n_pad, feat = x.shape
     k = blocks.shape[0]
     ft = min(feat, 512)
@@ -162,12 +167,12 @@ def _bsr_spmm_fwd(blocks, rows, cols, x, interpret=False):
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, BLOCK, BLOCK),
+                pl.BlockSpec((1, block, block),
                              lambda j, k, rows, cols: (k, 0, 0)),
-                pl.BlockSpec((BLOCK, ft),
+                pl.BlockSpec((block, ft),
                              lambda j, k, rows, cols: (cols[k], j)),
             ],
-            out_specs=pl.BlockSpec((BLOCK, ft),
+            out_specs=pl.BlockSpec((block, ft),
                                    lambda j, k, rows, cols: (rows[k], j)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, feat), x.dtype),
@@ -205,8 +210,10 @@ def _make_grouped_kernel(t: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
-def _bsr_spmm_fwd_grouped(blocks, rows, cols, x, group, interpret=False):
+@functools.partial(jax.jit, static_argnames=("group", "block",
+                                                 "interpret"))
+def _bsr_spmm_fwd_grouped(blocks, rows, cols, x, group, block=BLOCK,
+                          interpret=False):
     n_pad, feat = x.shape
     k = blocks.shape[0]
     assert k % group == 0, "build_bsr(group=...) pads rows to the group size"
@@ -214,12 +221,12 @@ def _bsr_spmm_fwd_grouped(blocks, rows, cols, x, group, interpret=False):
     ft = min(feat, 512)
     assert feat % ft == 0, f"feature dim {feat} must divide into tiles of {ft}"
     grid = (feat // ft, kg)
-    blocks_g = blocks.reshape(kg, group, BLOCK, BLOCK)
+    blocks_g = blocks.reshape(kg, group, block, block)
     rows_g = rows[::group]
 
     def x_spec(i):
         return pl.BlockSpec(
-            (BLOCK, ft),
+            (block, ft),
             lambda j, g, rows, cols, i=i: (cols[g * group + i], j))
 
     return pl.pallas_call(
@@ -228,10 +235,10 @@ def _bsr_spmm_fwd_grouped(blocks, rows, cols, x, group, interpret=False):
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, group, BLOCK, BLOCK),
+                pl.BlockSpec((1, group, block, block),
                              lambda j, g, rows, cols: (g, 0, 0, 0)),
             ] + [x_spec(i) for i in range(group)],
-            out_specs=pl.BlockSpec((BLOCK, ft),
+            out_specs=pl.BlockSpec((block, ft),
                                    lambda j, g, rows, cols: (rows[g], j)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, feat), x.dtype),
@@ -319,8 +326,9 @@ def _fwd_dispatch(b: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
                                  interpret=_use_interpret())
     if b.group > 1:
         return _bsr_spmm_fwd_grouped(b.blocks, b.rows, b.cols, x, b.group,
+                                     block=b.block,
                                      interpret=_use_interpret())
-    return _bsr_spmm_fwd(b.blocks, b.rows, b.cols, x,
+    return _bsr_spmm_fwd(b.blocks, b.rows, b.cols, x, block=b.block,
                          interpret=_use_interpret())
 
 

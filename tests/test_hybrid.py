@@ -155,3 +155,37 @@ class TestTileGroup:
         assert h.bsr is not None
         out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
         np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)
+
+
+class TestTileBlockSize:
+    """256-edge tiles (multi-MXU-tile blocks) must be exact, alone and
+    combined with grouping."""
+
+    def test_block256_matches_dense(self, rng):
+        n, f = 1024, 128
+        s, r, w = community_coo(rng, n, block=256, internal=0.85)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        h = build_hybrid(s, r, w, n, min_block_edges=50, block=256)
+        assert h.bsr is not None and h.bsr.block == 256
+        out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
+        np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)
+        g1 = jax.grad(lambda xx: jnp.sum(hybrid_spmm(h, xx) ** 2))(
+            jnp.asarray(x))
+        g2 = jax.grad(lambda xx: jnp.sum((jnp.asarray(a) @ xx) ** 2))(
+            jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_block256_grouped(self, rng):
+        n, f = 1024, 64
+        s, r, w = community_coo(rng, n, block=256, internal=0.85)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        h = build_hybrid(s, r, w, n, min_block_edges=50, block=256,
+                         tile_group=2)
+        assert h.bsr is not None
+        out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
+        np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)

@@ -53,3 +53,36 @@ def test_should_use_hybrid_gate():
     assert not should_use_hybrid(100_000, "GATConv", "auto")
     assert should_use_hybrid(1_000, "GCNConv", "on")
     assert not should_use_hybrid(100_000, "GCNConv", "off")
+
+
+def test_optimize_coarse_matches_plain():
+    from fitgnn_tpu.graph.optimize import optimize_coarse
+    from fitgnn_tpu.train import steps
+    from test_train import make_dataset
+
+    ds = make_dataset()
+    co = ds.coarse
+    co2 = optimize_coarse(co, min_block_edges=4)
+    assert co2.graph.aux is not None
+
+    # dropout off: the node permutation reassigns per-node dropout masks
+    # (statistically identical, not bitwise) — exactness is tested without it
+    model = NodeModel(layer_name="GCNConv", hidden=16, num_layers=2,
+                      out_dim=4, dropout_rate=0.0)
+    st1 = steps.create_state(model, jax.random.PRNGKey(0), co.graph.x,
+                             co.graph)
+    st2 = steps.create_state(model, jax.random.PRNGKey(0), co2.graph.x,
+                             co2.graph)
+    for i in range(3):
+        r = jax.random.PRNGKey(i + 1)
+        st1, l1 = steps.gc_train_step(st1, co.graph, co.y_train,
+                                      co.train_mask, r, "classification")
+        st2, l2 = steps.gc_train_step(st2, co2.graph, co2.y_train,
+                                      co2.train_mask, r, "classification")
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    v1, a1 = steps.gc_eval_step(st1, co.graph, co.y_val, co.val_mask,
+                                "classification")
+    v2, a2 = steps.gc_eval_step(st2, co2.graph, co2.y_val, co2.val_mask,
+                                "classification")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
+    np.testing.assert_allclose(float(a1), float(a2), rtol=1e-5)
