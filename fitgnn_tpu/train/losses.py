@@ -13,13 +13,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _pick_label_logprob(log_probs: jnp.ndarray,
+                        labels: jnp.ndarray) -> jnp.ndarray:
+    """``log_probs[..., labels]`` per row WITHOUT a gather: take_along_axis
+    lowers to a row-rate-bound TPU gather (and its VJP to a scatter) — a
+    one-hot select is a pure vector op with an elementwise gradient.
+    ``where`` (not multiply) so non-selected ``-inf`` rows can't make NaN."""
+    classes = log_probs.shape[-1]
+    onehot = (labels[..., None].astype(jnp.int32)
+              == jnp.arange(classes, dtype=jnp.int32))
+    return jnp.sum(jnp.where(onehot, log_probs, 0), axis=-1)
+
+
 def masked_nll(log_probs: jnp.ndarray, labels: jnp.ndarray,
                mask: jnp.ndarray, reduction: str = "mean") -> jnp.ndarray:
     """Negative log-likelihood over masked rows ('mean' or 'sum' — the
     reference's ``--loss_reduction``).
     ``log_probs``: (..., C); ``labels``: (...,) int; ``mask``: (...,) bool."""
-    picked = jnp.take_along_axis(
-        log_probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    picked = _pick_label_logprob(log_probs, labels)
     m = mask.astype(log_probs.dtype)
     total = jnp.sum(-picked * m)
     if reduction == "sum":
@@ -52,8 +63,7 @@ def masked_l1_std_normalized(pred, target, mask):
 
 def masked_nll_sum(log_probs, labels, mask):
     """(Σ masked NLL, masked count) — for accumulating across buckets."""
-    picked = jnp.take_along_axis(
-        log_probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    picked = _pick_label_logprob(log_probs, labels)
     m = mask.astype(log_probs.dtype)
     return jnp.sum(-picked * m), jnp.sum(m)
 
