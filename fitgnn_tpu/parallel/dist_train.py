@@ -19,6 +19,7 @@ from fitgnn_tpu.parallel.mesh import DATA_AXIS
 from fitgnn_tpu.parallel.shard import ShardedGraph
 from fitgnn_tpu.train.steps import TrainState, adam_l2
 from fitgnn_tpu.parallel.dist_model import DistNodeModel
+from fitgnn_tpu.train.losses import _pick_label_logprob
 
 
 def create_dist_state(model: DistNodeModel, rng, sg: ShardedGraph,
@@ -40,8 +41,7 @@ def _local_loss(apply_fn, params, xb, sb, rb, wb, yb, mb, rng, train,
                 num_classes: int):
     out = apply_fn(params, xb, sb, rb, wb, train=train,
                    **({"rngs": {"dropout": rng}} if train else {}))
-    picked = jnp.take_along_axis(
-        out, yb[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    picked = _pick_label_logprob(out, yb)
     m = mb.astype(out.dtype)
     local_sum = jnp.sum(-picked * m)
     local_cnt = jnp.sum(m)
@@ -111,8 +111,7 @@ def make_halo_train_step(mesh: Mesh, model, plan):
                 params, x, plan_b.senders_ext[0], plan_b.receivers[0],
                 plan_b.edge_weight[0], plan_b.send_idx[0],
                 plan_b.send_mask[0], train=True, rngs={"dropout": rng})
-            picked = jnp.take_along_axis(
-                out, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            picked = _pick_label_logprob(out, y)
             mf = m.astype(out.dtype)
             local_sum = jnp.sum(-picked * mf)
             global_cnt = jax.lax.psum(jnp.sum(mf), DATA_AXIS)
@@ -144,8 +143,7 @@ def make_dist_eval_step(mesh: Mesh, model: DistNodeModel, split: str = "test"):
         mb = (sg.val_mask if split == "val" else sg.test_mask)[0]
         out = state.apply_fn(state.params, xb, sb, rb, wb)
         m = mb.astype(out.dtype)
-        picked = jnp.take_along_axis(
-            out, yb[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        picked = _pick_label_logprob(out, yb)
         loss_sum = jax.lax.psum(jnp.sum(-picked * m), DATA_AXIS)
         correct = jax.lax.psum(jnp.sum(
             (jnp.argmax(out, -1) == yb).astype(out.dtype) * m), DATA_AXIS)

@@ -33,6 +33,7 @@ import flax.linen as nn
 import flax.struct
 
 from fitgnn_tpu.ops.segment import segment_sum
+from fitgnn_tpu.train.losses import _pick_label_logprob
 
 HOST_AXIS = "host"
 CHIP_AXIS = "chip"
@@ -355,8 +356,7 @@ def make_hier_train_step(mesh, model: HierNodeModel, plan: HierPlan):
         def loss_fn(params):
             out = model.apply(params, x, pb, train=True,
                               rngs={"dropout": rng})
-            picked = jnp.take_along_axis(
-                out, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            picked = _pick_label_logprob(out, y)
             mf = m.astype(out.dtype)
             local_sum = jnp.sum(-picked * mf)
             cnt = jax.lax.psum(jnp.sum(mf), (HOST_AXIS, CHIP_AXIS))
@@ -389,8 +389,7 @@ def make_hier_eval_step(mesh, model: HierNodeModel, plan: HierPlan):
         y, m = yb[0], mb[0]
         pb = jax.tree_util.tree_map(lambda a: a[0], plan_b)
         out = model.apply(state.params, x, pb)
-        picked = jnp.take_along_axis(
-            out, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        picked = _pick_label_logprob(out, y)
         mf = m.astype(out.dtype)
         loss_sum = jax.lax.psum(jnp.sum(-picked * mf),
                                 (HOST_AXIS, CHIP_AXIS))
