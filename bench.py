@@ -123,14 +123,19 @@ def main():
     num_edges = int(g.n_edge)
     import jax.numpy as _jnp
     tile_dtype = _jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
+    from fitgnn_tpu.graph.optimize import _LAYER_SEMANTICS, _operator_weights
+    semantics = _LAYER_SEMANTICS.get(BENCH_LAYER, "gcn_norm")
+    w_op = _operator_weights(g.senders, g.receivers, g.edge_weight,
+                             g.num_nodes_padded, semantics)
     hyb = build_hybrid(np.asarray(g.senders, dtype=np.int64),
                        np.asarray(g.receivers, dtype=np.int64),
-                       np.asarray(g.edge_weight), g.num_nodes_padded,
+                       w_op, g.num_nodes_padded,
                        min_block_edges=BENCH_TILE_THRESHOLD,
                        block=BENCH_BLOCK,
                        tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM,
                        use_rowwalk=BENCH_ROWWALK,
-                       tile_group=BENCH_TILE_GROUP)
+                       tile_group=BENCH_TILE_GROUP,
+                       semantics=semantics)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
           f"of {num_edges}", file=sys.stderr)

@@ -272,7 +272,8 @@ def cmd_train(args) -> int:
                              args.hybrid_spmm):
             # products-scale Gc graphs are full-graph training problems —
             # same Leiden-reorder + hybrid fast path as --baseline
-            part.coarse = optimize_coarse(part.coarse, seed=args.seed)
+            part.coarse = optimize_coarse(part.coarse, seed=args.seed,
+                                          layer_name=args.layer_name)
             hyb = part.coarse.graph.aux
             print(f"Gc hybrid operator: "
                   f"{0 if hyb.bsr is None else hyb.bsr.nnz_blocks} dense "
@@ -361,7 +362,8 @@ def _cmd_train_baseline(args) -> int:
         # (exact — node permutation; see graph/optimize.py)
         g, _ = build_optimized_graph(
             ds.x, ds.senders, ds.receivers, y=ds.y, train_mask=train,
-            val_mask=val, test_mask=test, seed=args.seed)
+            val_mask=val, test_mask=test, layer_name=args.layer_name,
+            seed=args.seed)
         print(f"hybrid operator: {0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks}"
               f" dense tiles, {g.aux.num_coo_edges} straggler edges")
     else:

@@ -27,12 +27,33 @@ from fitgnn_tpu.graph.container import Graph
 AUTO_MIN_NODES = 65_536
 
 
+_LAYER_SEMANTICS = {"GCNConv": "gcn_norm", "SAGEConv": "mean_nonself",
+                    "GINConv": "sum_nonself"}
+
+
+def _operator_weights(senders, receivers, gcn_weight, num_nodes,
+                      semantics: str) -> np.ndarray:
+    """Edge weights encoding a layer's aggregation as a static SpMM.
+    Padding edges (weight-0 self-loops on the pad node) stay 0."""
+    s = np.asarray(senders, dtype=np.int64)
+    r = np.asarray(receivers, dtype=np.int64)
+    if semantics == "gcn_norm":
+        return np.asarray(gcn_weight)
+    nonself = (s != r).astype(np.float32)
+    if semantics == "sum_nonself":          # GIN Σ_neigh
+        return nonself
+    if semantics == "mean_nonself":         # SAGE mean_neigh (0 if none)
+        indeg = np.bincount(r[nonself > 0], minlength=num_nodes)
+        return (nonself / np.maximum(indeg[r], 1.0)).astype(np.float32)
+    raise ValueError(f"unknown operator semantics {semantics!r}")
+
+
 def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                           receivers: np.ndarray, *, y=None, train_mask=None,
                           val_mask=None, test_mask=None,
                           min_block_edges: int = 48,
                           tile_dtype=None, use_segmm: bool = True,
-                          tile_group: int = 1,
+                          tile_group: int = 1, layer_name: str = "GCNConv",
                           seed: int = 0) -> tuple[Graph, np.ndarray]:
     """Reorder nodes by two-level Leiden communities, build the padded
     ``Graph`` and attach a ``HybridSpmm`` operator as ``g.aux``.
@@ -57,18 +78,21 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                     inv[receivers].astype(np.int32), y=perm(y),
                     train_mask=perm(train_mask), val_mask=perm(val_mask),
                     test_mask=perm(test_mask), node_pad_to=128)
+    semantics = _LAYER_SEMANTICS[layer_name]
+    w_op = _operator_weights(g.senders, g.receivers, g.edge_weight,
+                             g.num_nodes_padded, semantics)
     hyb = build_hybrid(np.asarray(g.senders, dtype=np.int64),
                        np.asarray(g.receivers, dtype=np.int64),
-                       np.asarray(g.edge_weight), g.num_nodes_padded,
+                       w_op, g.num_nodes_padded,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype, use_segmm=use_segmm,
-                       tile_group=tile_group)
+                       tile_group=tile_group, semantics=semantics)
     return g._replace(aux=hyb), order
 
 
 def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                     use_segmm: bool = True, tile_group: int = 1,
-                    seed: int = 0):
+                    layer_name: str = "GCNConv", seed: int = 0):
     """Leiden-reorder a ``CoarseData``'s graph and attach the hybrid
     operator — the Gc phase at products scale (~165k metanodes,
     reference ``main.py:247-267``) is a full-graph training problem and
@@ -115,9 +139,12 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
             a = np.pad(a, widths)
         return jnp.asarray(a)
 
-    hyb = build_hybrid(s2, r2, w2, n_pad, min_block_edges=min_block_edges,
+    semantics = _LAYER_SEMANTICS[layer_name]
+    w_op = _operator_weights(s2, r2, w2, n_pad, semantics)
+    hyb = build_hybrid(s2, r2, w_op, n_pad,
+                       min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype, use_segmm=use_segmm,
-                       tile_group=tile_group)
+                       tile_group=tile_group, semantics=semantics)
     g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
                     receivers=jnp.asarray(r2, dtype=jnp.int32),
                     edge_weight=jnp.asarray(w2), y=pnode(g.y),
@@ -132,10 +159,10 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
 
 def should_use_hybrid(num_nodes: int, layer_name: str,
                       mode: str = "auto") -> bool:
-    """Gate for the CLI: the hybrid operator is consumed by the GCNConv
-    aggregation (models/layers.py); other layers use segment ops."""
+    """Gate for the CLI: GCN/SAGE/GIN aggregations are static-weight SpMMs
+    and consume the hybrid operator; GAT's per-edge attention cannot."""
     if mode == "off":
         return False
     if mode == "on":
-        return layer_name == "GCNConv"
-    return layer_name == "GCNConv" and num_nodes >= AUTO_MIN_NODES
+        return layer_name in _LAYER_SEMANTICS
+    return layer_name in _LAYER_SEMANTICS and num_nodes >= AUTO_MIN_NODES

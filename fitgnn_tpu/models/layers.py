@@ -47,7 +47,7 @@ class GCNConv(nn.Module):
         h = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype)(x)
         from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
-        if isinstance(g.aux, HybridSpmm):
+        if isinstance(g.aux, HybridSpmm) and g.aux.semantics == "gcn_norm":
             out = hybrid_spmm(g.aux, h)
         else:
             out = spmm_coo(g.edge_weight, g.senders, g.receivers, h,
@@ -95,9 +95,16 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
-        w = _nonself_weight(g)
-        neigh = segment_mean(x[g.senders], g.receivers, g.num_nodes_padded,
-                             mask=w > 0)
+        from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
+        if (isinstance(g.aux, HybridSpmm)
+                and g.aux.semantics == "mean_nonself"):
+            # neighbor mean as a static-weight SpMM (w = 1/indeg on
+            # non-self edges) through the BCSR/COO fast path
+            neigh = hybrid_spmm(g.aux, x)
+        else:
+            w = _nonself_weight(g)
+            neigh = segment_mean(x[g.senders], g.receivers,
+                                 g.num_nodes_padded, mask=w > 0)
         out = nn.Dense(self.features, use_bias=True, name="lin_l")(neigh)
         out = out + nn.Dense(self.features, use_bias=False, name="lin_r")(x)
         return out
@@ -109,8 +116,14 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
-        w = _nonself_weight(g)
-        aggr = spmm_coo(w, g.senders, g.receivers, x, g.num_nodes_padded)
+        from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
+        if (isinstance(g.aux, HybridSpmm)
+                and g.aux.semantics == "sum_nonself"):
+            aggr = hybrid_spmm(g.aux, x)
+        else:
+            w = _nonself_weight(g)
+            aggr = spmm_coo(w, g.senders, g.receivers, x,
+                            g.num_nodes_padded)
         eps = self.param("eps", nn.initializers.zeros, ())
         h = (1.0 + eps) * x + aggr
         hidden = self.mlp_hidden or self.features

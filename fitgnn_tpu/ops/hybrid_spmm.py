@@ -42,6 +42,13 @@ class HybridSpmm:
     num_nodes: int = flax.struct.field(pytree_node=False)
     segmm: Optional[object] = None     # ops.pallas.coo_segmm.SegMM — MXU
     t_segmm: Optional[object] = None   # scatter path for the stragglers
+    semantics: str = flax.struct.field(pytree_node=False, default="gcn_norm")
+                                       # which aggregation this operator's
+                                       # weights encode: "gcn_norm" (sym-
+                                       # normalized A+I), "mean_nonself"
+                                       # (SAGE neighbor mean), "sum_nonself"
+                                       # (GIN sum) — layers consume the aux
+                                       # operator only when it matches
     diag_blocks: Optional[jnp.ndarray] = None  # (NB, B, B) block-DIAGONAL
                                        # dense tiles as one batched einsum
                                        # (opt-in; measured ~1 ms SLOWER than
@@ -62,7 +69,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  use_segmm: bool = False,
                  use_diag: bool = False,
                  use_rowwalk: bool = False,
-                 tile_group: int = 1) -> HybridSpmm:
+                 tile_group: int = 1,
+                 semantics: str = "gcn_norm") -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
@@ -123,7 +131,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                               np.asarray(w_t), num_nodes_padded)
     return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
                       t_senders=s_t, t_receivers=r_t, t_weights=w_t,
-                      num_nodes=num_nodes_padded,
+                      num_nodes=num_nodes_padded, semantics=semantics,
                       segmm=segmm, t_segmm=t_segmm, diag_blocks=diag_blocks)
 
 

@@ -86,3 +86,33 @@ def test_optimize_coarse_matches_plain():
                                 "classification")
     np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
     np.testing.assert_allclose(float(a1), float(a2), rtol=1e-5)
+
+
+def test_sage_gin_hybrid_matches_plain():
+    from fitgnn_tpu.graph.optimize import build_optimized_graph
+
+    x, s, r, y = sbm_graph(num_nodes=640, num_classes=4, num_features=16,
+                           p_in=0.1, p_out=0.01, seed=5)
+    g_plain = build_graph(x, s, r, y=y, node_pad_to=128)
+    for layer in ("SAGEConv", "GINConv"):
+        g_opt, order = build_optimized_graph(
+            x, s, r, y=y, min_block_edges=8, layer_name=layer, seed=0)
+        assert g_opt.aux.semantics != "gcn_norm"
+        assert g_opt.aux.bsr is not None
+        model = NodeModel(layer_name=layer, hidden=16, num_layers=2,
+                          out_dim=4)
+        params = model.init(jax.random.PRNGKey(0), g_plain.x, g_plain)
+        out_plain = np.asarray(model.apply(params, g_plain.x, g_plain))
+        out_opt = np.asarray(model.apply(params, g_opt.x, g_opt))
+        np.testing.assert_allclose(out_opt[: len(order)], out_plain[order],
+                                   rtol=2e-3, atol=2e-4, err_msg=layer)
+        # gradients flow through the operator
+        def loss(p, gg):
+            out = model.apply(p, gg.x, gg)
+            return jnp.sum(out[: gg.n_node] ** 2)
+        g1 = jax.grad(loss)(params, g_plain)
+        g2 = jax.grad(loss)(params, g_opt)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-4, err_msg=layer)
