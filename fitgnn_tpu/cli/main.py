@@ -82,8 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hybrid_spmm", choices=("auto", "on", "off"),
                    default="auto",
                    help="attach the Leiden-reordered BCSR/COO hybrid "
-                        "aggregation operator to full-graph (--baseline) "
-                        "training; auto = on for GCNConv at >=65k nodes")
+                        "aggregation operator to full-graph training "
+                        "(--baseline, and the Gc phase of --train_fitgnn); "
+                        "auto = on for GCN/SAGE/GIN at >=65k nodes")
+    t.add_argument("--hybrid_threshold", type=int, default=48,
+                   help="min edges per 128x128 tile to densify it "
+                        "(the tuned break-even from PERFORMANCE.md)")
+    t.add_argument("--hybrid_bf16_tiles", action="store_true",
+                   help="store the dense adjacency tiles in bfloat16 "
+                        "(halves tile HBM traffic; f32 accumulation)")
     t.add_argument("--fused_epochs", action="store_true",
                    help="run the Gc phase as one jitted lax.scan over "
                         "epochs (one dispatch per phase; ignored when "
@@ -272,8 +279,11 @@ def cmd_train(args) -> int:
                              args.hybrid_spmm):
             # products-scale Gc graphs are full-graph training problems —
             # same Leiden-reorder + hybrid fast path as --baseline
-            part.coarse = optimize_coarse(part.coarse, seed=args.seed,
-                                          layer_name=args.layer_name)
+            import jax.numpy as _j
+            part.coarse = optimize_coarse(
+                part.coarse, seed=args.seed, layer_name=args.layer_name,
+                min_block_edges=args.hybrid_threshold,
+                tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None)
             hyb = part.coarse.graph.aux
             print(f"Gc hybrid operator: "
                   f"{0 if hyb.bsr is None else hyb.bsr.nnz_blocks} dense "
@@ -360,9 +370,12 @@ def _cmd_train_baseline(args) -> int:
     if should_use_hybrid(ds.num_nodes, args.layer_name, args.hybrid_spmm):
         # full-graph fast path: Leiden reorder + BCSR/COO hybrid operator
         # (exact — node permutation; see graph/optimize.py)
+        import jax.numpy as _j
         g, _ = build_optimized_graph(
             ds.x, ds.senders, ds.receivers, y=ds.y, train_mask=train,
             val_mask=val, test_mask=test, layer_name=args.layer_name,
+            min_block_edges=args.hybrid_threshold,
+            tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None,
             seed=args.seed)
         print(f"hybrid operator: {0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks}"
               f" dense tiles, {g.aux.num_coo_edges} straggler edges")
