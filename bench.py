@@ -146,6 +146,8 @@ def main():
             weights=0.0 * one(hyb.weights), t_senders=one(hyb.t_senders),
             t_receivers=one(hyb.t_receivers),
             t_weights=0.0 * one(hyb.t_weights),
+            segmm=None, t_segmm=None,  # the MXU straggler path must be
+                                       # ablated too, not just the edge lists
             bsr=None if BENCH_ABLATE == "no_spmm" else hyb.bsr)
         print(f"ABLATION {BENCH_ABLATE}: timing is diagnostic only",
               file=sys.stderr)
