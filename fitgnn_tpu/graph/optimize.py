@@ -28,7 +28,7 @@ AUTO_MIN_NODES = 65_536
 
 
 _LAYER_SEMANTICS = {"GCNConv": "gcn_norm", "SAGEConv": "mean_nonself",
-                    "GINConv": "sum_nonself"}
+                    "GINConv": "sum_nonself", "GATConv": "att_unit"}
 
 
 def _operator_weights(senders, receivers, gcn_weight, num_nodes,
@@ -39,6 +39,8 @@ def _operator_weights(senders, receivers, gcn_weight, num_nodes,
     r = np.asarray(receivers, dtype=np.int64)
     if semantics == "gcn_norm":
         return np.asarray(gcn_weight)
+    if semantics == "att_unit":             # GAT: presence incl self-loops
+        return (np.asarray(gcn_weight) > 0).astype(np.float32)
     nonself = (s != r).astype(np.float32)
     if semantics == "sum_nonself":          # GIN Σ_neigh
         return nonself
@@ -85,7 +87,8 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        np.asarray(g.receivers, dtype=np.int64),
                        w_op, g.num_nodes_padded,
                        min_block_edges=min_block_edges,
-                       tile_dtype=tile_dtype, use_segmm=use_segmm,
+                       tile_dtype=tile_dtype,
+                       use_segmm=use_segmm and semantics != "att_unit",
                        tile_group=tile_group, semantics=semantics)
     return g._replace(aux=hyb), order
 
@@ -143,7 +146,8 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
     w_op = _operator_weights(s2, r2, w2, n_pad, semantics)
     hyb = build_hybrid(s2, r2, w_op, n_pad,
                        min_block_edges=min_block_edges,
-                       tile_dtype=tile_dtype, use_segmm=use_segmm,
+                       tile_dtype=tile_dtype,
+                       use_segmm=use_segmm and semantics != "att_unit",
                        tile_group=tile_group, semantics=semantics)
     g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
                     receivers=jnp.asarray(r2, dtype=jnp.int32),
@@ -159,8 +163,9 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
 
 def should_use_hybrid(num_nodes: int, layer_name: str,
                       mode: str = "auto") -> bool:
-    """Gate for the CLI: GCN/SAGE/GIN aggregations are static-weight SpMMs
-    and consume the hybrid operator; GAT's per-edge attention cannot."""
+    """Gate for the CLI: GCN/SAGE/GIN aggregations are static-weight SpMMs;
+    GAT consumes the presence tiles through the flash-attention-style
+    dense-tile path (ops/tile_gat.py)."""
     if mode == "off":
         return False
     if mode == "on":

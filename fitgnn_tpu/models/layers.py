@@ -73,13 +73,24 @@ class GATConv(nn.Module):
         a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (h_, c))
         score_src = jnp.sum(h * a_src, axis=-1)          # (N, H)
         score_dst = jnp.sum(h * a_dst, axis=-1)          # (N, H)
-        from fitgnn_tpu.ops.sddmm import gather_concat_score
-        e = gather_concat_score(g.senders, g.receivers,
-                                score_src, score_dst)    # (E, H)
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-        alpha = segment_softmax(e, g.receivers, n, mask=g.edge_mask)  # (E, H)
-        msg = h[g.senders] * alpha[..., None]            # (E, H, C)
-        out = segment_sum(msg, g.receivers, n)           # (N, H, C)
+        from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm
+        if (h_ == 1 and isinstance(g.aux, HybridSpmm)
+                and g.aux.semantics == "att_unit"):
+            # flash-attention-style dense-tile path: intra-tile scores by
+            # outer broadcast, per-edge work only for stragglers
+            from fitgnn_tpu.ops.tile_gat import tile_gat_attention
+            out = tile_gat_attention(g.aux, score_src[:, 0],
+                                     score_dst[:, 0], h[:, 0, :],
+                                     self.negative_slope)[:, None, :]
+        else:
+            from fitgnn_tpu.ops.sddmm import gather_concat_score
+            e = gather_concat_score(g.senders, g.receivers,
+                                    score_src, score_dst)    # (E, H)
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            alpha = segment_softmax(e, g.receivers, n,
+                                    mask=g.edge_mask)        # (E, H)
+            msg = h[g.senders] * alpha[..., None]            # (E, H, C)
+            out = segment_sum(msg, g.receivers, n)           # (N, H, C)
         if self.concat:
             out = out.reshape(n, h_ * c)
             bias_dim = h_ * c

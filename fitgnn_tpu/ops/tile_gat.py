@@ -1,0 +1,92 @@
+"""Tile-dense GAT attention on the hybrid BCSR/COO structure.
+
+The per-edge GAT formulation (gather scores → segment-softmax → gather
+rows → scatter) is row-rate-bound on TPU: every step touches E random
+rows several times.  On a community-reordered graph most edges live in
+dense adjacency tiles, where attention has a flash-attention-like dense
+form with NO per-edge materialization:
+
+* tile scores   ``E_t[i,j] = LeakyReLU(s_dst[row_i] + s_src[col_j])`` —
+  an outer broadcast over the tile, masked by the static adjacency tile;
+* the softmax max/denominator reduce over tile rows (VPU) + a segment
+  combine over the few tiles per block-row;
+* the weighted aggregation is a batched ``(b,b)@(b,F)`` einsum (MXU).
+
+Only the straggler edges keep the per-edge path.  Numerics follow the
+standard max-subtracted softmax with the max treated as a constant
+(``stop_gradient``), exactly like ``ops.segment.segment_softmax``.
+
+Semantics match ``models.layers.GATConv``'s per-edge path (reference
+PyG GATConv, ``network.py:13``): scores over incoming edges per receiver,
+self-loops included.  Exactness is gated by ``tests/test_tile_gat.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
+
+
+def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
+                       h: jnp.ndarray, negative_slope: float) -> jnp.ndarray:
+    """Single-head GAT aggregation through ``aux`` (a HybridSpmm with
+    ``semantics='att_unit'``: presence tiles + straggler edge lists).
+
+    ``score_src``/``score_dst``: (N,) per-node attention projections;
+    ``h``: (N, F) transformed features.  Returns (N, F)."""
+    bsr = aux.bsr
+    n = aux.num_nodes
+    f = h.shape[-1]
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    # ---- straggler per-edge scores (receiver-sorted lists) --------------
+    sm = aux.weights > 0
+    es = leaky(score_src[aux.senders] + score_dst[aux.receivers])
+    es = jnp.where(sm, es, _NEG)
+    m = jax.ops.segment_max(es, aux.receivers, num_segments=n,
+                            indices_are_sorted=True)
+
+    if bsr is not None:
+        b = bsr.block
+        nb = n // b
+        rows, cols = bsr.rows, bsr.cols
+        mask = bsr.blocks > 0                       # (K,b,b) static adjacency
+        ssrc = score_src.reshape(nb, b)[cols]       # (K,b) sender scores
+        sdst = score_dst.reshape(nb, b)[rows]       # (K,b) receiver scores
+        e = leaky(sdst[:, :, None] + ssrc[:, None, :])
+        e = jnp.where(mask, e, _NEG)
+        tile_rowmax = jnp.max(e, axis=2)            # (K,b)
+        m_tiles = jax.ops.segment_max(tile_rowmax, rows, num_segments=nb,
+                                      indices_are_sorted=True)
+        m = jnp.maximum(m, m_tiles.reshape(n))
+
+    m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
+
+    # ---- straggler numerator/denominator --------------------------------
+    pes = jnp.exp(es - m[aux.receivers]) * sm
+    num = jax.ops.segment_sum(
+        h[aux.senders] * pes[:, None].astype(h.dtype), aux.receivers,
+        num_segments=n, indices_are_sorted=True)
+    den = jax.ops.segment_sum(pes, aux.receivers, num_segments=n,
+                              indices_are_sorted=True)
+
+    # ---- tile numerator/denominator --------------------------------------
+    if bsr is not None:
+        mrow = m.reshape(nb, b)[rows]               # (K,b)
+        pe = jnp.exp(e - mrow[:, :, None])
+        pe = jnp.where(mask, pe, 0.0)
+        hb = h.reshape(nb, b, f)[cols]              # (K,b,F) block gather
+        num_t = jnp.einsum("kij,kjf->kif", pe.astype(h.dtype), hb)
+        num = num + jax.ops.segment_sum(
+            num_t, rows, num_segments=nb,
+            indices_are_sorted=True).reshape(n, f)
+        den = den + jax.ops.segment_sum(
+            jnp.sum(pe, axis=2), rows, num_segments=nb,
+            indices_are_sorted=True).reshape(n)
+
+    den = jnp.maximum(den, 1e-16).astype(h.dtype)
+    return num / den[:, None]
