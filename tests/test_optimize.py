@@ -50,7 +50,8 @@ def test_forward_and_grad_match_plain():
 def test_should_use_hybrid_gate():
     assert should_use_hybrid(100_000, "GCNConv", "auto")
     assert not should_use_hybrid(1_000, "GCNConv", "auto")
-    assert not should_use_hybrid(100_000, "GATConv", "auto")
+    # GAT consumes presence tiles through the dense-tile attention path
+    assert should_use_hybrid(100_000, "GATConv", "auto")
     assert should_use_hybrid(1_000, "GCNConv", "on")
     assert not should_use_hybrid(100_000, "GCNConv", "off")
 
