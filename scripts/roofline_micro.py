@@ -22,6 +22,9 @@ REPS = 24
 # per-tile kernel; zero-padding tiles are fetched but not useful — both
 # fetched-GB/s and useful-GB/s are printed
 GROUP = int(os.environ.get("ROOFLINE_GROUP", "1"))
+# tile edge length for the off-diag BSR timing (rebuilds the tile set)
+RBLOCK = int(os.environ.get("ROOFLINE_BLOCK", "128"))
+RTHRESH = int(os.environ.get("ROOFLINE_THRESHOLD", "0"))  # 0 = scale 48
 
 
 def timed(fn, x):
@@ -60,7 +63,7 @@ def main():
     inv[order] = np.arange(b.NUM_NODES)
     senders, receivers = inv[senders], inv[receivers]
     g = build_graph(x[order], senders.astype(np.int32),
-                    receivers.astype(np.int32), node_pad_to=128)
+                    receivers.astype(np.int32), node_pad_to=RBLOCK)
     hyb = build_hybrid(np.asarray(g.senders, np.int64),
                        np.asarray(g.receivers, np.int64),
                        np.asarray(g.edge_weight), g.num_nodes_padded,
@@ -88,29 +91,37 @@ def main():
     # --- off-diagonal BSR kernel ---------------------------------------
     bsr = hyb.bsr
     K_useful = bsr.nnz_blocks
-    if GROUP > 1:
+    if GROUP > 1 or RBLOCK != 128:
         from fitgnn_tpu.ops.pallas.bsr_spmm import (_bsr_spmm_fwd_grouped,
                                                     build_bsr)
         # rebuild the SAME off-diag tile set with group padding
         s64 = np.asarray(g.senders, np.int64)
         r64 = np.asarray(g.receivers, np.int64)
         w = np.asarray(g.edge_weight)
-        nb_ = g.num_nodes_padded // 128
-        tile = (r64 // 128) * nb_ + (s64 // 128)
+        nb_ = g.num_nodes_padded // RBLOCK
+        tile = (r64 // RBLOCK) * nb_ + (s64 // RBLOCK)
         uniq, invt, counts = np.unique(tile, return_inverse=True,
                                        return_counts=True)
-        dense = counts[invt] >= 48
-        ondiag = dense & (r64 // 128 == s64 // 128)
+        thresh = RTHRESH or 48 * (RBLOCK // 128) ** 2
+        dense = counts[invt] >= thresh
+        ondiag = dense & (r64 // RBLOCK == s64 // RBLOCK)
         m = dense & ~ondiag
         bsr = build_bsr(s64[m], r64[m], w[m], g.num_nodes_padded,
+                        block=RBLOCK,
                         tile_dtype=jnp.bfloat16, with_transpose=False,
                         group=GROUP)
 
         from fitgnn_tpu.ops.pallas.bsr_spmm import _use_interpret
 
         def run_bsr(h_):
-            o = _bsr_spmm_fwd_grouped(bsr.blocks, bsr.rows, bsr.cols, h_,
-                                      GROUP, interpret=_use_interpret())
+            if GROUP > 1:
+                o = _bsr_spmm_fwd_grouped(bsr.blocks, bsr.rows, bsr.cols,
+                                          h_, GROUP, block=RBLOCK,
+                                          interpret=_use_interpret())
+            else:
+                o = _bsr_spmm_fwd(bsr.blocks, bsr.rows, bsr.cols, h_,
+                                  block=RBLOCK,
+                                  interpret=_use_interpret())
             return (o * 0.05).astype(h_.dtype)
     else:
         from fitgnn_tpu.ops.pallas.bsr_spmm import _use_interpret
@@ -121,11 +132,15 @@ def main():
             return (o * 0.05).astype(h_.dtype)
 
     K = bsr.nnz_blocks
+    B_ = bsr.block
+    if B_ != 128:
+        K_useful = K          # the rebuilt tile set IS the measured set
     nrows = len(np.unique(np.asarray(bsr.rows)))
     per = timed(run_bsr, h)
-    f_bytes = K * (128 * 128 * 2 + 128 * F * 2) + nrows * 128 * F * 2
-    u_bytes = K_useful * (128 * 128 * 2 + 128 * F * 2) + nrows * 128 * F * 2
-    print(f"off-diag BSR ({K} tiles, group={GROUP}):  {per*1e3:.2f} ms  "
+    f_bytes = K * (B_ * B_ * 2 + B_ * F * 2) + nrows * B_ * F * 2
+    u_bytes = K_useful * (B_ * B_ * 2 + B_ * F * 2) + nrows * B_ * F * 2
+    print(f"off-diag BSR ({K} tiles, block={B_}, group={GROUP}):  "
+          f"{per*1e3:.2f} ms  "
           f"fetched {f_bytes/per/1e9:.0f} GB/s "
           f"({f_bytes/per/HBM_PEAK*100:.0f}% roofline), useful "
           f"{u_bytes/per/1e9:.0f} GB/s "
