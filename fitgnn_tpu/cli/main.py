@@ -636,13 +636,25 @@ def cmd_infer(args, baseline: bool = False) -> int:
     ckpt = _resolve_checkpoint(args, baseline)
 
     if baseline:
-        g = build_graph(ds.x, ds.senders, ds.receivers)
+        from fitgnn_tpu.graph.optimize import (build_optimized_graph,
+                                               should_use_hybrid)
+        test_m, y_m = test, ds.y
+        if should_use_hybrid(ds.num_nodes, args.layer_name, "auto"):
+            # the timed full-graph forward gets the same fast path as
+            # full-graph training (permutation-exact)
+            g, order = build_optimized_graph(
+                ds.x, ds.senders, ds.receivers,
+                layer_name=args.layer_name, seed=args.seed)
+            test_m = np.asarray(test)[order]
+            y_m = np.asarray(ds.y)[order]
+        else:
+            g = build_graph(ds.x, ds.senders, ds.receivers)
         params = model.init(jax.random.PRNGKey(args.seed), g.x, g)
         if ckpt:
             from fitgnn_tpu.train.checkpoint import restore_params
             params = restore_params(ckpt, params)
         rep = baseline_inference_benchmark(
-            model, params, g, test, ds.y,
+            model, params, g, test_m, y_m,
             num_samples=args.num_test_samples, classify=classify,
             seed=args.seed)
     else:
