@@ -40,6 +40,8 @@ BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
 BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED",
                                 str(int(time.time()) % 999983)))
 BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
+# p=0.5 dropout from one random bit per element (16x fewer PRNG words)
+BENCH_BIT_DROPOUT = os.environ.get("FITGNN_BENCH_BITDROP", "0") == "1"
 BENCH_ROWWALK = os.environ.get("FITGNN_BENCH_ROWWALK", "0") == "1"
 # GCNConv (default, hybrid BCSR operator + layer-0 preagg) or GATConv /
 # SAGEConv / GINConv (segment-op paths; no preagg — diagnostic rows for
@@ -161,7 +163,8 @@ def main():
                       out_dim=NUM_CLASSES, dtype=dtype,
                       first_layer_preaggregated=preagg,
                       dropout_rate=BENCH_DROPOUT,
-                      fused_dropout=BENCH_FUSED_DROPOUT)
+                      fused_dropout=BENCH_FUSED_DROPOUT,
+                      bit_dropout=BENCH_BIT_DROPOUT)
     if preagg:
         # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact —
         # input features are constant, Â(X·W) = (Â·X)·W)

@@ -48,6 +48,11 @@ class ConvStack(nn.Module):
                                         # (ops/pallas/dropout.py); same
                                         # Bernoulli semantics, different
                                         # random stream
+    bit_dropout: bool = False           # p=0.5 only: one random BIT per
+                                        # element (exact Bernoulli(½)) from
+                                        # 16x fewer PRNG words — the mask
+                                        # generation cost, not the apply,
+                                        # dominates dropout on TPU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
@@ -63,7 +68,11 @@ class ConvStack(nn.Module):
                 x = make_layer(self.layer_name, self.hidden, self.dtype,
                                name=f"{self.layer_name}_{i}")(x, g)
             x = nn.elu(x)
-            if (self.fused_dropout and train and self.dropout_rate > 0.0
+            if (self.bit_dropout and train and self.dropout_rate == 0.5
+                    and x.ndim == 2 and x.shape[-1] % 32 == 0):
+                x = _bit_dropout_half(
+                    x, jax.random.fold_in(self.make_rng("dropout"), i))
+            elif (self.fused_dropout and train and self.dropout_rate > 0.0
                     and x.ndim == 2):
                 from fitgnn_tpu.ops.pallas.dropout import (fused_dropout,
                                                            seed_from_rng)
@@ -74,6 +83,20 @@ class ConvStack(nn.Module):
                 x = nn.Dropout(self.dropout_rate,
                                deterministic=not train)(x)
         return x
+
+
+def _bit_dropout_half(x: jnp.ndarray, rng) -> jnp.ndarray:
+    """Dropout(p=0.5) from one random BIT per element: (N, F/32) uint32
+    words, bit j of word w masks element 32w+j — exact Bernoulli(½), scale
+    2.  The broadcast+shift unpacking fuses into the consumer; only the
+    small word array is generated."""
+    n, f = x.shape
+    words = jax.random.bits(rng, (n, f // 32), jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts) & jnp.uint32(1)   # (N, F/32, 32)
+    keep = bits.reshape(n, f).astype(jnp.bool_)
+    return jnp.where(keep, x * jnp.asarray(2.0, x.dtype),
+                     jnp.zeros((), x.dtype))
 
 
 class _PreAggGCN(nn.Module):
@@ -102,6 +125,7 @@ class NodeModel(nn.Module):
     first_layer_preaggregated: bool = False  # pass x̃ = Â·X (see ConvStack)
     dropout_rate: float = 0.5
     fused_dropout: bool = False
+    bit_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
@@ -109,6 +133,7 @@ class NodeModel(nn.Module):
                       dtype=self.dtype, dropout_rate=self.dropout_rate,
                       first_layer_preaggregated=self.first_layer_preaggregated,
                       fused_dropout=self.fused_dropout,
+                      bit_dropout=self.bit_dropout,
                       name="convs")(x, g, train=train)
         # head runs in the stack's compute dtype (casting the wide features
         # up would move 2·N·H f32 bytes); only the narrow logits are promoted
