@@ -43,6 +43,10 @@ BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
 # p=0.5 dropout from one random bit per element (16x fewer PRNG words)
 BENCH_BIT_DROPOUT = os.environ.get("FITGNN_BENCH_BITDROP", "0") == "1"
 BENCH_ROWWALK = os.environ.get("FITGNN_BENCH_ROWWALK", "0") == "1"
+# XLA batched-einsum tile path (slab gather + batched MXU matmul + sorted
+# segment-sum): no Pallas per-grid-step overhead, so pair it with a LOW
+# tile threshold (break-even ~4 edges/tile at F<=128)
+BENCH_EINSUM_TILES = os.environ.get("FITGNN_BENCH_EINSUM", "0") == "1"
 # GCNConv (default, hybrid BCSR operator + layer-0 preagg) or GATConv /
 # SAGEConv / GINConv (segment-op paths; no preagg — diagnostic rows for
 # PERFORMANCE.md, the headline metric stays GCN)
@@ -137,6 +141,7 @@ def main():
                        tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM,
                        use_rowwalk=BENCH_ROWWALK,
                        tile_group=BENCH_TILE_GROUP,
+                       use_einsum_tiles=BENCH_EINSUM_TILES,
                        semantics=semantics)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "

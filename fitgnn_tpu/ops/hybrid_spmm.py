@@ -70,6 +70,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  use_diag: bool = False,
                  use_rowwalk: bool = False,
                  tile_group: int = 1,
+                 use_einsum_tiles: bool = False,
                  semantics: str = "gcn_norm") -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side)."""
     assert num_nodes_padded % block == 0
@@ -104,7 +105,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                         receivers[bsr_mask].astype(np.int64),
                         weight[bsr_mask], num_nodes_padded, block=block,
                         tile_dtype=tile_dtype, rowwalk=use_rowwalk,
-                        group=tile_group)
+                        group=tile_group, einsum=use_einsum_tiles)
 
     cs, cr, cw = (senders[~dense_all], receivers[~dense_all],
                   weight[~dense_all])

@@ -52,6 +52,16 @@ class BsrMatrix:
                                # tiles cut grid steps ~quadratically on
                                # block-diagonal-dominant adjacency at the
                                # cost of lower tile occupancy)
+    einsum: bool = flax.struct.field(pytree_node=False, default=False)
+                               # XLA batched-einsum path: slab-gather the
+                               # column blocks, one batched MXU matmul over
+                               # all tiles, sorted segment-sum over block
+                               # rows.  No per-grid-step pipeline overhead
+                               # (the Pallas grid costs ~2.3 µs/tile at
+                               # ~1.7 tiles/block-row), so the break-even
+                               # tile occupancy drops from ~48 edges to ~4
+                               # at F ≤ 128 — the hybrid can absorb far
+                               # more edges into tiles
 
     @property
     def nnz_blocks(self) -> int:
@@ -66,7 +76,7 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
               num_nodes_padded: int, block: int = BLOCK,
               with_transpose: bool = True, dtype=np.float32,
               tile_dtype=None, rowwalk: bool = False,
-              group: int = 1) -> BsrMatrix:
+              group: int = 1, einsum: bool = False) -> BsrMatrix:
     """Host-side BCSR construction from a COO edge list (numpy).
 
     ``num_nodes_padded`` must be a multiple of ``block``.  Edges pointing at
@@ -88,7 +98,7 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     if k == 0:
         rows = np.zeros(1, dtype=np.int32)
         cols = np.zeros(1, dtype=np.int32)
-    if not rowwalk:
+    if not rowwalk and not einsum:
         # every row block needs ≥1 tile: a grid that never visits a row
         # block leaves its out tile UNINITIALIZED (out buffers are not
         # zeroed) — append zero tiles for uncovered rows, keep rows sorted.
@@ -124,7 +134,8 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     if with_transpose:
         t = build_bsr(receivers, senders, weight, num_nodes_padded, block,
                       with_transpose=False, dtype=dtype,
-                      tile_dtype=tile_dtype, rowwalk=rowwalk, group=group)
+                      tile_dtype=tile_dtype, rowwalk=rowwalk, group=group,
+                      einsum=einsum)
     blocks_dev = jnp.asarray(blocks)
     if tile_dtype is not None:
         blocks_dev = blocks_dev.astype(tile_dtype)
@@ -133,7 +144,8 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     return BsrMatrix(
         blocks=blocks_dev, rows=jnp.asarray(rows), cols=jnp.asarray(cols),
         num_row_blocks=nb, num_col_blocks=nb, transpose=t,
-        row_splits=row_splits, rowwalk=rowwalk, group=group, block=block)
+        row_splits=row_splits, rowwalk=rowwalk, group=group, block=block,
+        einsum=einsum)
 
 
 def _kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
@@ -316,11 +328,37 @@ def _bsr_spmm_rowwalk(blocks, row_splits, cols, x, interpret=False):
     )(row_splits, cols, blocks, x)
 
 
+@functools.partial(jax.jit, static_argnames=("nb", "block"))
+def _bsr_spmm_einsum(blocks, rows, cols, x, nb, block=BLOCK):
+    """All-XLA tile path: out[r] = Σ_k∈row r  A_k · X[col_k].
+
+    The column-block gather moves aligned (block, F) slabs (no 8-row tiling
+    amplification), the batched matmul is pure MXU food, and the scatter is
+    a segment-sum over *sorted* block-row ids whose "rows" are whole
+    (block·F)-element slabs — streaming-rate, not per-row-rate.  Zero filler
+    tiles are harmless (rows without tiles come out zero from segment_sum).
+    """
+    n_pad, feat = x.shape
+    xb = x.reshape(nb, block, feat)
+    if blocks.dtype == jnp.bfloat16:
+        xb = xb.astype(jnp.bfloat16)
+    gathered = jnp.take(xb, cols, axis=0)            # (K, block, F) slabs
+    # no preferred_element_type: MXU accumulates f32 internally and rounds
+    # at output — matches the Pallas kernel's per-tile accumulate precision
+    prod = jnp.einsum("kij,kjf->kif", blocks, gathered)
+    out = jax.ops.segment_sum(prod, rows, num_segments=nb,
+                              indices_are_sorted=True)
+    return out.reshape(n_pad, feat).astype(x.dtype)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
 def _fwd_dispatch(b: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    if b.einsum:
+        return _bsr_spmm_einsum(b.blocks, b.rows, b.cols, x,
+                                nb=b.num_row_blocks, block=b.block)
     if b.rowwalk:
         return _bsr_spmm_rowwalk(b.blocks, b.row_splits, b.cols, x,
                                  interpret=_use_interpret())
@@ -345,7 +383,7 @@ def _fwd(bsr, x):
 def _bwd(bsr, g):
     assert bsr.transpose is not None, "build_bsr(with_transpose=True) required for grad"
     t = bsr.transpose
-    dx = _fwd_dispatch(t.replace(rowwalk=bsr.rowwalk), g)
+    dx = _fwd_dispatch(t.replace(rowwalk=bsr.rowwalk, einsum=bsr.einsum), g)
     return None, dx
 
 

@@ -189,3 +189,51 @@ class TestTileBlockSize:
         assert h.bsr is not None
         out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
         np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)
+
+
+class TestEinsumTiles:
+    """XLA batched-einsum tile path must be exact, incl. gradients and
+    empty block-rows (no filler tiles in this mode)."""
+
+    def test_einsum_matches_dense(self, rng):
+        n, f = 512, 128
+        s, r, w = community_coo(rng, n)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        h = build_hybrid(s, r, w, n, min_block_edges=4,
+                         use_einsum_tiles=True)
+        assert h.bsr is not None and h.bsr.einsum
+        out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
+        np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)
+
+    def test_einsum_gradient(self, rng):
+        n, f = 256, 128
+        s, r, w = community_coo(rng, n, deg=10, internal=0.9)
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        h = build_hybrid(s, r, w, n, min_block_edges=4,
+                         use_einsum_tiles=True)
+        assert h.bsr is not None
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        a = jnp.asarray(a)
+        g1 = jax.grad(lambda xx: jnp.sum(hybrid_spmm(h, xx) ** 2))(x)
+        g2 = jax.grad(lambda xx: jnp.sum((a @ xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_einsum_empty_rows(self, rng):
+        # busy rows 0-1 only: empty block-rows must come out exactly zero
+        n, f = 1024, 64
+        s = rng.integers(0, 256, 4000).astype(np.int64)
+        r = rng.integers(0, 256, 4000).astype(np.int64)
+        w = rng.normal(size=4000).astype(np.float32)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        a = np.zeros((n, n), dtype=np.float32)
+        np.add.at(a, (r, s), w)
+        h = build_hybrid(s, r, w, n, min_block_edges=10,
+                         use_einsum_tiles=True)
+        assert h.bsr is not None
+        out = np.asarray(hybrid_spmm(h, jnp.asarray(x)))
+        np.testing.assert_allclose(out, a @ x, rtol=1e-3, atol=1e-3)
+        assert np.all(out[256:] == 0.0)
