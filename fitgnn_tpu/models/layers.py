@@ -44,14 +44,22 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
-        h = nn.Dense(self.features, use_bias=False, name="lin",
-                     dtype=self.dtype)(x)
         from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
         if isinstance(g.aux, HybridSpmm) and g.aux.semantics == "gcn_norm":
-            out = hybrid_spmm(g.aux, h)
+            agg = lambda h: hybrid_spmm(g.aux, h)          # noqa: E731
         else:
-            out = spmm_coo(g.edge_weight, g.senders, g.receivers, h,
-                           g.num_nodes_padded)
+            agg = lambda h: spmm_coo(g.edge_weight, g.senders,  # noqa: E731
+                                     g.receivers, h, g.num_nodes_padded)
+        lin = nn.Dense(self.features, use_bias=False, name="lin",
+                       dtype=self.dtype)
+        # Â(X·W) = (Â·X)·W — aggregate on the NARROW side of the layer.
+        # The SpMM's gather/scatter/tile traffic scales with the aggregated
+        # width, so a contracting layer (e.g. hidden→classes) aggregates
+        # the transformed features and an expanding one the raw input.
+        if self.features <= x.shape[-1]:
+            out = agg(lin(x))
+        else:
+            out = lin(agg(x))
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,), jnp.float32
@@ -111,12 +119,21 @@ class SAGEConv(nn.Module):
                 and g.aux.semantics == "mean_nonself"):
             # neighbor mean as a static-weight SpMM (w = 1/indeg on
             # non-self edges) through the BCSR/COO fast path
-            neigh = hybrid_spmm(g.aux, x)
+            agg = lambda h: hybrid_spmm(g.aux, h)          # noqa: E731
         else:
             w = _nonself_weight(g)
-            neigh = segment_mean(x[g.senders], g.receivers,
-                                 g.num_nodes_padded, mask=w > 0)
-        out = nn.Dense(self.features, use_bias=True, name="lin_l")(neigh)
+            agg = lambda h: segment_mean(h[g.senders],     # noqa: E731
+                                         g.receivers, g.num_nodes_padded,
+                                         mask=w > 0)
+        lin_l = nn.Dense(self.features, use_bias=True, name="lin_l")
+        if self.features <= x.shape[-1]:
+            # aggregate on the narrow side: mean(x)·W + b = mean(x·W) + b
+            # (the bias is added unconditionally either way, matching
+            # lin_l(mean(x)) which gives isolated nodes the bias too)
+            b_l = lin_l(jnp.zeros((1, x.shape[-1]), x.dtype))
+            out = agg(lin_l(x) - b_l) + b_l
+        else:
+            out = lin_l(agg(x))
         out = out + nn.Dense(self.features, use_bias=False, name="lin_r")(x)
         return out
 
@@ -130,15 +147,24 @@ class GINConv(nn.Module):
         from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
         if (isinstance(g.aux, HybridSpmm)
                 and g.aux.semantics == "sum_nonself"):
-            aggr = hybrid_spmm(g.aux, x)
+            agg = lambda h: hybrid_spmm(g.aux, h)          # noqa: E731
         else:
             w = _nonself_weight(g)
-            aggr = spmm_coo(w, g.senders, g.receivers, x,
-                            g.num_nodes_padded)
+            agg = lambda h: spmm_coo(w, g.senders, g.receivers,  # noqa: E731
+                                     h, g.num_nodes_padded)
         eps = self.param("eps", nn.initializers.zeros, ())
-        h = (1.0 + eps) * x + aggr
         hidden = self.mlp_hidden or self.features
-        h = nn.relu(nn.Dense(hidden, name="mlp_0")(h))
+        mlp_0 = nn.Dense(hidden, name="mlp_0")
+        if hidden <= x.shape[-1]:
+            # aggregate on the narrow side:  W₀((1+ε)x + Σx) + b₀
+            # = (1+ε)(xW₀) + Σ(xW₀) + b₀  — push x through the first MLP
+            # matmul before the sum-aggregation
+            b0 = mlp_0(jnp.zeros((1, x.shape[-1]), x.dtype))
+            h0 = mlp_0(x) - b0
+            h = nn.relu((1.0 + eps) * h0 + agg(h0) + b0)
+        else:
+            h = (1.0 + eps) * x + agg(x)
+            h = nn.relu(mlp_0(h))
         h = nn.relu(nn.Dense(self.features, name="mlp_1")(h))
         return h
 
