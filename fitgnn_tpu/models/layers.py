@@ -111,6 +111,8 @@ class GATConv(nn.Module):
 
 class SAGEConv(nn.Module):
     features: int
+    dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 halves the
+                                        # dense-stack + SpMM HBM traffic)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
@@ -125,7 +127,8 @@ class SAGEConv(nn.Module):
             agg = lambda h: segment_mean(h[g.senders],     # noqa: E731
                                          g.receivers, g.num_nodes_padded,
                                          mask=w > 0)
-        lin_l = nn.Dense(self.features, use_bias=True, name="lin_l")
+        lin_l = nn.Dense(self.features, use_bias=True, name="lin_l",
+                         dtype=self.dtype)
         if self.features <= x.shape[-1]:
             # aggregate on the narrow side: mean(x)·W + b = mean(x·W) + b
             # (the bias is added unconditionally either way, matching
@@ -134,13 +137,15 @@ class SAGEConv(nn.Module):
             out = agg(lin_l(x) - b_l) + b_l
         else:
             out = lin_l(agg(x))
-        out = out + nn.Dense(self.features, use_bias=False, name="lin_r")(x)
+        out = out + nn.Dense(self.features, use_bias=False, name="lin_r",
+                             dtype=self.dtype)(x)
         return out
 
 
 class GINConv(nn.Module):
     features: int
     mlp_hidden: int | None = None  # defaults to ``features``
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
@@ -154,18 +159,19 @@ class GINConv(nn.Module):
                                      h, g.num_nodes_padded)
         eps = self.param("eps", nn.initializers.zeros, ())
         hidden = self.mlp_hidden or self.features
-        mlp_0 = nn.Dense(hidden, name="mlp_0")
+        mlp_0 = nn.Dense(hidden, name="mlp_0", dtype=self.dtype)
         if hidden <= x.shape[-1]:
             # aggregate on the narrow side:  W₀((1+ε)x + Σx) + b₀
             # = (1+ε)(xW₀) + Σ(xW₀) + b₀  — push x through the first MLP
             # matmul before the sum-aggregation
             b0 = mlp_0(jnp.zeros((1, x.shape[-1]), x.dtype))
             h0 = mlp_0(x) - b0
-            h = nn.relu((1.0 + eps) * h0 + agg(h0) + b0)
+            h = nn.relu((1.0 + eps).astype(h0.dtype) * h0 + agg(h0) + b0)
         else:
-            h = (1.0 + eps) * x + agg(x)
+            h = (1.0 + eps).astype(x.dtype) * x + agg(x)
             h = nn.relu(mlp_0(h))
-        h = nn.relu(nn.Dense(self.features, name="mlp_1")(h))
+        h = nn.relu(nn.Dense(self.features, name="mlp_1",
+                             dtype=self.dtype)(h))
         return h
 
 
@@ -184,6 +190,7 @@ def make_layer(layer_name: str, features: int,
         raise ValueError(
             f"unknown layer {layer_name!r}; choose from {sorted(LAYER_REGISTRY)}")
     kwargs = {} if name is None else {"name": name}
-    if layer_name == "GCNConv" and dtype is not None:
-        return GCNConv(features=features, dtype=dtype, **kwargs)
+    if dtype is not None and layer_name in ("GCNConv", "SAGEConv", "GINConv"):
+        return LAYER_REGISTRY[layer_name](features=features, dtype=dtype,
+                                          **kwargs)
     return LAYER_REGISTRY[layer_name](features=features, **kwargs)

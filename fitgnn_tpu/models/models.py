@@ -86,15 +86,15 @@ class ConvStack(nn.Module):
 
 
 def _bit_dropout_half(x: jnp.ndarray, rng) -> jnp.ndarray:
-    """Dropout(p=0.5) from one random BIT per element: (N, F/32) uint32
-    words, bit j of word w masks element 32w+j — exact Bernoulli(½), scale
-    2.  The broadcast+shift unpacking fuses into the consumer; only the
-    small word array is generated."""
+    """Dropout(p=0.5) from one random BYTE per element — exact
+    Bernoulli(½) off the low bit, scale 2.  4× less PRNG traffic than a
+    uint32-per-element mask, with no unpack broadcast (a (N, F/32)-word
+    32×-unpack variant was measured SLOWER: the bit expansion
+    materialized instead of fusing).  The u8 compare fuses into the
+    consumer."""
     n, f = x.shape
-    words = jax.random.bits(rng, (n, f // 32), jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (words[:, :, None] >> shifts) & jnp.uint32(1)   # (N, F/32, 32)
-    keep = bits.reshape(n, f).astype(jnp.bool_)
+    bytes_ = jax.random.bits(rng, (n, f), jnp.uint8)
+    keep = (bytes_ & jnp.uint8(1)).astype(jnp.bool_)
     return jnp.where(keep, x * jnp.asarray(2.0, x.dtype),
                      jnp.zeros((), x.dtype))
 
