@@ -40,8 +40,9 @@ BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
 BENCH_SEED = int(os.environ.get("FITGNN_BENCH_SEED",
                                 str(int(time.time()) % 999983)))
 BENCH_FUSED_DROPOUT = os.environ.get("FITGNN_BENCH_FUSED_DROPOUT", "0") == "1"
-# p=0.5 dropout from one random bit per element (16x fewer PRNG words)
-BENCH_BIT_DROPOUT = os.environ.get("FITGNN_BENCH_BITDROP", "0") == "1"
+# p=0.5 dropout from one random byte per element (4x less PRNG traffic;
+# default on — A/B 22.1 -> 20.8 ms/step)
+BENCH_BIT_DROPOUT = os.environ.get("FITGNN_BENCH_BITDROP", "1") == "1"
 BENCH_ROWWALK = os.environ.get("FITGNN_BENCH_ROWWALK", "0") == "1"
 # XLA batched-einsum tile path (slab gather + batched MXU matmul + sorted
 # segment-sum): no Pallas per-grid-step overhead, so pair it with a LOW
@@ -51,11 +52,12 @@ BENCH_EINSUM_TILES = os.environ.get("FITGNN_BENCH_EINSUM", "0") == "1"
 # SAGEConv / GINConv (segment-op paths; no preagg — diagnostic rows for
 # PERFORMANCE.md, the headline metric stays GCN)
 BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
-# 1 = time the STEPS steps as ONE jitted lax.scan program (the production
-# fused-epochs path, train/steps.py:gc_train_epochs_scan) instead of STEPS
-# chained dispatches — isolates device step time from per-dispatch host
-# overhead (~2-3 ms through the axon tunnel)
-BENCH_SCAN = os.environ.get("FITGNN_BENCH_SCAN", "0") == "1"
+# 1 (default) = time the STEPS steps as ONE jitted lax.scan program (the
+# production fused-epochs path, train/steps.py:gc_train_epochs_scan,
+# CLI --fused_epochs) instead of STEPS chained dispatches — the way
+# full-batch epochs actually run in production, and free of the tunnel's
+# per-dispatch host overhead (~2-3 ms).  0 = chained dispatches.
+BENCH_SCAN = os.environ.get("FITGNN_BENCH_SCAN", "1") == "1"
 # tiles per BSR grid step (build_bsr group=): >1 amortizes per-grid-step
 # overhead at the cost of zero-tile padding in short block-rows
 BENCH_TILE_GROUP = int(os.environ.get("FITGNN_BENCH_TILE_GROUP", "1"))

@@ -48,11 +48,12 @@ class ConvStack(nn.Module):
                                         # (ops/pallas/dropout.py); same
                                         # Bernoulli semantics, different
                                         # random stream
-    bit_dropout: bool = False           # p=0.5 only: one random BIT per
-                                        # element (exact Bernoulli(½)) from
-                                        # 16x fewer PRNG words — the mask
-                                        # generation cost, not the apply,
-                                        # dominates dropout on TPU
+    bit_dropout: bool = True            # p=0.5 only: one random BYTE per
+                                        # element (exact Bernoulli(½)) —
+                                        # 4x less PRNG traffic than a u32
+                                        # mask; the mask GENERATION cost,
+                                        # not the apply, dominates dropout
+                                        # on TPU (A/B: 22.1→20.8 ms/step)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
@@ -69,7 +70,7 @@ class ConvStack(nn.Module):
                                name=f"{self.layer_name}_{i}")(x, g)
             x = nn.elu(x)
             if (self.bit_dropout and train and self.dropout_rate == 0.5
-                    and x.ndim == 2 and x.shape[-1] % 32 == 0):
+                    and x.ndim == 2):
                 x = _bit_dropout_half(
                     x, jax.random.fold_in(self.make_rng("dropout"), i))
             elif (self.fused_dropout and train and self.dropout_rate > 0.0
@@ -125,7 +126,7 @@ class NodeModel(nn.Module):
     first_layer_preaggregated: bool = False  # pass x̃ = Â·X (see ConvStack)
     dropout_rate: float = 0.5
     fused_dropout: bool = False
-    bit_dropout: bool = False
+    bit_dropout: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
