@@ -72,15 +72,19 @@ class GATConv(nn.Module):
     heads: int = 1
     concat: bool = True
     negative_slope: float = 0.2
+    dtype: Optional[jnp.dtype] = None   # compute dtype for the transform +
+                                        # message traffic; attention scores
+                                        # and softmax stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Graph) -> jnp.ndarray:
         n, h_, c = g.num_nodes_padded, self.heads, self.features
-        h = nn.Dense(h_ * c, use_bias=False, name="lin")(x).reshape(n, h_, c)
+        h = nn.Dense(h_ * c, use_bias=False, name="lin",
+                     dtype=self.dtype)(x).reshape(n, h_, c)
         a_src = self.param("att_src", nn.initializers.glorot_uniform(), (h_, c))
         a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (h_, c))
-        score_src = jnp.sum(h * a_src, axis=-1)          # (N, H)
-        score_dst = jnp.sum(h * a_dst, axis=-1)          # (N, H)
+        score_src = jnp.sum(h.astype(jnp.float32) * a_src, axis=-1)  # (N, H)
+        score_dst = jnp.sum(h.astype(jnp.float32) * a_dst, axis=-1)  # (N, H)
         from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm
         if (h_ == 1 and isinstance(g.aux, HybridSpmm)
                 and g.aux.semantics == "att_unit"):
@@ -97,7 +101,7 @@ class GATConv(nn.Module):
             e = nn.leaky_relu(e, negative_slope=self.negative_slope)
             alpha = segment_softmax(e, g.receivers, n,
                                     mask=g.edge_mask)        # (E, H)
-            msg = h[g.senders] * alpha[..., None]            # (E, H, C)
+            msg = h[g.senders] * alpha[..., None].astype(h.dtype)
             out = segment_sum(msg, g.receivers, n)           # (N, H, C)
         if self.concat:
             out = out.reshape(n, h_ * c)
@@ -106,7 +110,7 @@ class GATConv(nn.Module):
             out = out.mean(axis=1)
             bias_dim = c
         return out + self.param("bias", nn.initializers.zeros,
-                                (bias_dim,), x.dtype)
+                                (bias_dim,), jnp.float32).astype(out.dtype)
 
 
 class SAGEConv(nn.Module):
@@ -190,7 +194,7 @@ def make_layer(layer_name: str, features: int,
         raise ValueError(
             f"unknown layer {layer_name!r}; choose from {sorted(LAYER_REGISTRY)}")
     kwargs = {} if name is None else {"name": name}
-    if dtype is not None and layer_name in ("GCNConv", "SAGEConv", "GINConv"):
+    if dtype is not None:
         return LAYER_REGISTRY[layer_name](features=features, dtype=dtype,
                                           **kwargs)
     return LAYER_REGISTRY[layer_name](features=features, **kwargs)
