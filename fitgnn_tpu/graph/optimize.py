@@ -88,7 +88,7 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        w_op, g.num_nodes_padded,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype,
-                       use_segmm=use_segmm and semantics != "att_unit",
+                       use_segmm=use_segmm,
                        tile_group=tile_group, semantics=semantics)
     return g._replace(aux=hyb), order
 
@@ -147,7 +147,7 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
     hyb = build_hybrid(s2, r2, w_op, n_pad,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype,
-                       use_segmm=use_segmm and semantics != "att_unit",
+                       use_segmm=use_segmm,
                        tile_group=tile_group, semantics=semantics)
     g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
                     receivers=jnp.asarray(r2, dtype=jnp.int32),

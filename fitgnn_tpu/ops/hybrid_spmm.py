@@ -114,22 +114,26 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
         cr = np.array([num_nodes_padded - 1], dtype=np.int64)
         cw = np.array([0.0], dtype=np.float32)
 
-    def sorted_by(recv, s, r, w):
-        order = np.argsort(recv, kind="stable")
-        return (jnp.asarray(s[order], dtype=jnp.int32),
-                jnp.asarray(r[order], dtype=jnp.int32),
-                jnp.asarray(w[order]))
-
-    s_f, r_f, w_f = sorted_by(cr, cs, cr, cw)
+    order_f = np.argsort(cr, kind="stable")
+    s_f, r_f, w_f = (jnp.asarray(cs[order_f], dtype=jnp.int32),
+                     jnp.asarray(cr[order_f], dtype=jnp.int32),
+                     jnp.asarray(cw[order_f]))
     # transpose: roles swap; sort by the transpose's receiver (= sender)
-    s_t, r_t, w_t = sorted_by(cs, cr, cs, cw)
+    order_t = np.argsort(cs, kind="stable")
+    s_t, r_t, w_t = (jnp.asarray(cr[order_t], dtype=jnp.int32),
+                     jnp.asarray(cs[order_t], dtype=jnp.int32),
+                     jnp.asarray(cw[order_t]))
     segmm = t_segmm = None
     if use_segmm:
         from fitgnn_tpu.ops.pallas.coo_segmm import build_segmm
-        segmm = build_segmm(np.asarray(s_f), np.asarray(r_f),
-                            np.asarray(w_f), num_nodes_padded)
-        t_segmm = build_segmm(np.asarray(s_t), np.asarray(r_t),
-                              np.asarray(w_t), num_nodes_padded)
+        segmm = build_segmm(cs[order_f], cr[order_f], cw[order_f],
+                            num_nodes_padded)
+        # the transpose structure's edge_ids point back into FORWARD edge
+        # order, so dynamic per-edge weights (GAT α) need no re-sort
+        inv_f = np.empty(len(order_f), dtype=np.int64)
+        inv_f[order_f] = np.arange(len(order_f))
+        t_segmm = build_segmm(cr[order_t], cs[order_t], cw[order_t],
+                              num_nodes_padded, edge_perm=inv_f[order_t])
     return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
                       t_senders=s_t, t_receivers=r_t, t_weights=w_t,
                       num_nodes=num_nodes_padded, semantics=semantics,

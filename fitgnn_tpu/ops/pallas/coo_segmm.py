@@ -45,6 +45,11 @@ class SegMM:
                                #   (packed into one (8,128)-tileable block;
                                #   rows 2..7 are padding)
     num_nodes: int = flax.struct.field(pytree_node=False)
+    edge_ids: jnp.ndarray = None  # (E_pad,) int32 original edge index per
+                               #   slot (padding slots repeat a real index
+                               #   but carry weight 0) — lets callers remap
+                               #   per-edge data (e.g. GAT α) into slot
+                               #   order for ``segmm_scatter_rows``
 
     @property
     def num_chunks(self) -> int:
@@ -57,13 +62,23 @@ class SegMM:
 
 def build_segmm(senders: np.ndarray, receivers: np.ndarray,
                 weight: np.ndarray, num_nodes_padded: int,
-                chunk: int = CHUNK) -> SegMM:
-    """Host-side build from a RECEIVER-SORTED COO edge list."""
+                chunk: int = CHUNK,
+                edge_perm: np.ndarray | None = None) -> SegMM:
+    """Host-side build from a RECEIVER-SORTED COO edge list.
+
+    ``edge_perm`` (optional): for list position ``i``, the index of that
+    edge in the caller's canonical order — stored into ``edge_ids`` so a
+    per-edge weight vector in canonical order can be remapped to slot
+    order (``segmm_weighted_spmm``).  Defaults to the identity (the list
+    IS the canonical order); a transpose structure passes the mapping
+    back to the forward list."""
     assert num_nodes_padded % BLOCK == 0
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
     assert (np.diff(receivers) >= 0).all(), "receivers must be sorted"
+    if edge_perm is None:
+        edge_perm = np.arange(len(senders), dtype=np.int64)
 
     rb = receivers // BLOCK
     blocks, counts = np.unique(rb, return_counts=True)
@@ -74,7 +89,7 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
     covered = set(int(b) for b in blocks)
     all_blocks = num_nodes_padded // BLOCK
 
-    s_chunks, r_chunks, w_chunks, bids = [], [], [], []
+    s_chunks, r_chunks, w_chunks, e_chunks, bids = [], [], [], [], []
     bi = 0
     for b in range(all_blocks):
         if b in covered:
@@ -88,14 +103,18 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
             r = np.concatenate([receivers[lo:hi] % BLOCK,
                                 np.zeros(pad, np.int64)])
             w = np.concatenate([weight[lo:hi], np.zeros(pad, np.float32)])
+            ei = np.concatenate([edge_perm[lo:hi],
+                                 np.full(pad, edge_perm[hi - 1])])
         else:   # zero-weight filler chunk: writes the block's zeros
             s = np.zeros(chunk, np.int64)
             r = np.zeros(chunk, np.int64)
             w = np.zeros(chunk, np.float32)
+            ei = np.zeros(chunk, np.int64)
             n_ch = 1
         s_chunks.append(s)
         r_chunks.append(r)
         w_chunks.append(w)
+        e_chunks.append(ei)
         bids.extend([b] * n_ch)
 
     s_all = np.concatenate(s_chunks)
@@ -107,7 +126,8 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
         block_ids=jnp.asarray(np.asarray(bids, dtype=np.int32)),
         senders=jnp.asarray(s_all, dtype=jnp.int32),
         aux=jnp.asarray(aux),
-        num_nodes=num_nodes_padded)
+        num_nodes=num_nodes_padded,
+        edge_ids=jnp.asarray(np.concatenate(e_chunks), dtype=jnp.int32))
 
 
 def _kernel(block_ids_ref, aux_ref, y_ref, o_ref):
@@ -161,3 +181,48 @@ def segmm_spmm(m: SegMM, x: jnp.ndarray) -> jnp.ndarray:
     y = x[m.senders]       # (E_pad, F) stream; BlockSpec slices per chunk
     return _segmm_scatter(m.block_ids, m.aux, y, m.num_nodes,
                           interpret=_use_interpret())
+
+
+def _dyn_aux(m: SegMM, w_edge: jnp.ndarray) -> jnp.ndarray:
+    """aux with row 1 = dynamic per-edge weight (canonical order) remapped
+    to slot order, times the static build weight (1 on real slots, 0 on
+    padding/filler — so padding slots stay inert)."""
+    n_chunks, _, chunk = m.aux.shape
+    ws = w_edge[m.edge_ids].astype(m.aux.dtype) * m.aux[:, 1, :].reshape(-1)
+    return m.aux.at[:, 1, :].set(ws.reshape(n_chunks, chunk))
+
+
+@jax.custom_vjp
+def segmm_weighted_spmm(m: SegMM, mt: SegMM, senders: jnp.ndarray,
+                        receivers: jnp.ndarray, w_edge: jnp.ndarray,
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """out[r] = Σ_e w[e]·x[s_e] with DYNAMIC per-edge weights on the MXU
+    selector (the GAT straggler aggregation: w = softmax numerators).
+
+    ``m``/``mt`` are the forward/transpose SegMM structures (``mt`` built
+    with ``edge_perm`` mapping back to the forward list); ``senders``/
+    ``receivers``/``w_edge`` are in forward (receiver-sorted) edge order.
+    Differentiable in ``w_edge`` and ``x``: dx rides the transpose
+    selector-scatter, dw is the per-edge SDDMM ⟨g[r], x[s]⟩."""
+    y = x[m.senders]
+    return _segmm_scatter(m.block_ids, _dyn_aux(m, w_edge), y, m.num_nodes,
+                          interpret=_use_interpret())
+
+
+def _segmm_weighted_fwd(m, mt, senders, receivers, w_edge, x):
+    return segmm_weighted_spmm(m, mt, senders, receivers, w_edge, x), (
+        m, mt, senders, receivers, w_edge, x)
+
+
+def _segmm_weighted_bwd(res, g):
+    m, mt, senders, receivers, w_edge, x = res
+    yt = g[mt.senders]
+    dx = _segmm_scatter(mt.block_ids, _dyn_aux(mt, w_edge), yt,
+                        mt.num_nodes, interpret=_use_interpret())
+    dw = jnp.sum(g[receivers].astype(jnp.float32)
+                 * x[senders].astype(jnp.float32), axis=-1
+                 ).astype(w_edge.dtype)
+    return None, None, None, None, dw, dx
+
+
+segmm_weighted_spmm.defvjp(_segmm_weighted_fwd, _segmm_weighted_bwd)

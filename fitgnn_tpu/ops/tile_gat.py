@@ -68,9 +68,17 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
 
     # ---- straggler numerator/denominator --------------------------------
     pes = jnp.exp(es - m[aux.receivers]) * sm
-    num = jax.ops.segment_sum(
-        h[aux.senders] * pes[:, None].astype(h.dtype), aux.receivers,
-        num_segments=n, indices_are_sorted=True)
+    if aux.segmm is not None and aux.segmm.edge_ids is not None:
+        # MXU selector-scatter with the softmax numerators as dynamic
+        # per-edge selector weights (same bf16 rounding of α as the
+        # segment_sum path's ``astype(h.dtype)``)
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
+        num = segmm_weighted_spmm(aux.segmm, aux.t_segmm, aux.senders,
+                                  aux.receivers, pes, h)
+    else:
+        num = jax.ops.segment_sum(
+            h[aux.senders] * pes[:, None].astype(h.dtype), aux.receivers,
+            num_segments=n, indices_are_sorted=True)
     den = jax.ops.segment_sum(pes, aux.receivers, num_segments=n,
                               indices_are_sorted=True)
 

@@ -93,3 +93,65 @@ class TestRowWalk:
         g2 = jax.grad(lambda xx: jnp.sum((jnp.asarray(a) @ xx) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-3, atol=1e-2)
+
+
+class TestWeightedSegMM:
+    """Dynamic per-edge weights (the GAT straggler α path)."""
+
+    def _setup(self, seed=5, n=512, e=900, f=48):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(0, n, e, dtype=np.int64)
+        r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+        unit = np.ones(e, np.float32)
+        hyb = build_hybrid(s, r, unit, n, min_block_edges=10 ** 9,
+                           use_segmm=True, semantics="att_unit")
+        w_dyn = jnp.asarray(rng.random(len(hyb.senders)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        return hyb, w_dyn, x, n
+
+    def test_forward_matches_segment_sum(self):
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
+        hyb, w_dyn, x, n = self._setup()
+        out = segmm_weighted_spmm(hyb.segmm, hyb.t_segmm, hyb.senders,
+                                  hyb.receivers, w_dyn, x)
+        ref = jax.ops.segment_sum(x[hyb.senders] * w_dyn[:, None],
+                                  hyb.receivers, num_segments=n,
+                                  indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_autodiff_reference(self):
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
+        hyb, w_dyn, x, n = self._setup(seed=6)
+        tgt = jnp.asarray(np.random.default_rng(7).standard_normal(
+            (n, x.shape[1])).astype(np.float32))
+
+        def loss_k(w, xx):
+            out = segmm_weighted_spmm(hyb.segmm, hyb.t_segmm, hyb.senders,
+                                      hyb.receivers, w, xx)
+            return jnp.sum((out - tgt) ** 2)
+
+        def loss_ref(w, xx):
+            out = jax.ops.segment_sum(xx[hyb.senders] * w[:, None],
+                                      hyb.receivers, num_segments=n,
+                                      indices_are_sorted=True)
+            return jnp.sum((out - tgt) ** 2)
+
+        dw_k, dx_k = jax.grad(loss_k, argnums=(0, 1))(w_dyn, x)
+        dw_r, dx_r = jax.grad(loss_ref, argnums=(0, 1))(w_dyn, x)
+        np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_att_unit_hybrid_attaches_segmm(self):
+        from fitgnn_tpu.graph.optimize import build_optimized_graph
+        from fitgnn_tpu.data.synthetic import sbm_graph
+        x, s, r, y = sbm_graph(num_nodes=384, num_classes=3,
+                               num_features=8, p_in=0.08, p_out=0.01, seed=2)
+        g, _ = build_optimized_graph(x, s, r, y=y, min_block_edges=8,
+                                     layer_name="GATConv", seed=0)
+        assert g.aux.semantics == "att_unit"
+        assert g.aux.segmm is not None
+        assert g.aux.segmm.edge_ids is not None
+        assert g.aux.t_segmm.edge_ids is not None
