@@ -49,6 +49,10 @@ class HybridSpmm:
                                        # (SAGE neighbor mean), "sum_nonself"
                                        # (GIN sum) — layers consume the aux
                                        # operator only when it matches
+    dyn_plan: Optional[object] = None  # ops.pallas.bsr_dynamic.DynPlan —
+                                       # transpose-order plan for DYNAMIC
+                                       # tile values (GAT attention tiles);
+                                       # built only for att_unit semantics
     diag_blocks: Optional[jnp.ndarray] = None  # (NB, B, B) block-DIAGONAL
                                        # dense tiles as one batched einsum
                                        # (opt-in; measured ~1 ms SLOWER than
@@ -134,10 +138,19 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
         inv_f[order_f] = np.arange(len(order_f))
         t_segmm = build_segmm(cr[order_t], cs[order_t], cw[order_t],
                               num_nodes_padded, edge_perm=inv_f[order_t])
+    dyn_plan = None
+    if (semantics == "att_unit" and bsr is not None
+            and not bsr.rowwalk and not bsr.einsum):
+        # the plan needs the grid-walk tile order: rows sorted ascending
+        # with coverage fillers (zero-mask tiles → zero pe, inert)
+        from fitgnn_tpu.ops.pallas.bsr_dynamic import build_dyn_plan
+        dyn_plan = build_dyn_plan(np.asarray(bsr.rows), np.asarray(bsr.cols),
+                                  bsr.num_row_blocks)
     return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
                       t_senders=s_t, t_receivers=r_t, t_weights=w_t,
                       num_nodes=num_nodes_padded, semantics=semantics,
-                      segmm=segmm, t_segmm=t_segmm, diag_blocks=diag_blocks)
+                      segmm=segmm, t_segmm=t_segmm, dyn_plan=dyn_plan,
+                      diag_blocks=diag_blocks)
 
 
 @jax.custom_vjp

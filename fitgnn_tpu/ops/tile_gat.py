@@ -68,10 +68,14 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
 
     # ---- straggler numerator/denominator --------------------------------
     pes = jnp.exp(es - m[aux.receivers]) * sm
-    if aux.segmm is not None and aux.segmm.edge_ids is not None:
+    if (aux.segmm is not None and aux.segmm.edge_ids is not None
+            and f <= 128):
         # MXU selector-scatter with the softmax numerators as dynamic
         # per-edge selector weights (same bf16 rounding of α as the
-        # segment_sum path's ``astype(h.dtype)``)
+        # segment_sum path's ``astype(h.dtype)``).  Gated to narrow
+        # features: the kernel re-reads the gathered message stream from
+        # HBM, which at F=512 costs more than the scatter it saves
+        # (measured: GAT step 102.7 ms segmm vs 93.6 ms segment_sum).
         from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
         num = segmm_weighted_spmm(aux.segmm, aux.t_segmm, aux.senders,
                                   aux.receivers, pes, h)
@@ -87,11 +91,19 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         mrow = m.reshape(nb, b)[rows]               # (K,b)
         pe = jnp.exp(e - mrow[:, :, None])
         pe = jnp.where(mask, pe, 0.0)
-        hb = h.reshape(nb, b, f)[cols]              # (K,b,F) block gather
-        num_t = jnp.einsum("kij,kjf->kif", pe.astype(h.dtype), hb)
-        num = num + jax.ops.segment_sum(
-            num_t, rows, num_segments=nb,
-            indices_are_sorted=True).reshape(n, f)
+        if getattr(aux, "dyn_plan", None) is not None:
+            # VMEM-accumulating MXU walk with the attention numerators as
+            # DYNAMIC tile values — replaces the einsum + slab segment-sum
+            # (which XLA lowers to a ~3 µs/tile scalar scatter)
+            from fitgnn_tpu.ops.pallas.bsr_dynamic import bsr_spmm_dyn
+            num = num + bsr_spmm_dyn(bsr.rows, bsr.cols, aux.dyn_plan,
+                                     pe.astype(h.dtype), h)
+        else:
+            hb = h.reshape(nb, b, f)[cols]          # (K,b,F) block gather
+            num_t = jnp.einsum("kij,kjf->kif", pe.astype(h.dtype), hb)
+            num = num + jax.ops.segment_sum(
+                num_t, rows, num_segments=nb,
+                indices_are_sorted=True).reshape(n, f)
         den = den + jax.ops.segment_sum(
             jnp.sum(pe, axis=2), rows, num_segments=nb,
             indices_are_sorted=True).reshape(n)
