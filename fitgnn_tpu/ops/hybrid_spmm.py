@@ -49,6 +49,11 @@ class HybridSpmm:
                                        # (SAGE neighbor mean), "sum_nonself"
                                        # (GIN sum) — layers consume the aux
                                        # operator only when it matches
+    t_edge_perm: Optional[jnp.ndarray] = None  # (E,) forward-list position
+                                       # of each transpose-list entry — maps
+                                       # per-edge data (GAT α, cotangents)
+                                       # between the two sorted orders so
+                                       # every backward scatter stays sorted
     dyn_plan: Optional[object] = None  # ops.pallas.bsr_dynamic.DynPlan —
                                        # transpose-order plan for DYNAMIC
                                        # tile values (GAT attention tiles);
@@ -127,6 +132,12 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     s_t, r_t, w_t = (jnp.asarray(cr[order_t], dtype=jnp.int32),
                      jnp.asarray(cs[order_t], dtype=jnp.int32),
                      jnp.asarray(cw[order_t]))
+    # forward-list position of each transpose-list entry: keeps per-edge
+    # data (GAT α, cotangents) movable between the two sorted orders so
+    # every backward scatter can stay sorted
+    inv_f = np.empty(len(order_f), dtype=np.int64)
+    inv_f[order_f] = np.arange(len(order_f))
+    t_edge_perm = inv_f[order_t]
     segmm = t_segmm = None
     if use_segmm:
         from fitgnn_tpu.ops.pallas.coo_segmm import build_segmm
@@ -134,10 +145,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                             num_nodes_padded)
         # the transpose structure's edge_ids point back into FORWARD edge
         # order, so dynamic per-edge weights (GAT α) need no re-sort
-        inv_f = np.empty(len(order_f), dtype=np.int64)
-        inv_f[order_f] = np.arange(len(order_f))
         t_segmm = build_segmm(cr[order_t], cs[order_t], cw[order_t],
-                              num_nodes_padded, edge_perm=inv_f[order_t])
+                              num_nodes_padded, edge_perm=t_edge_perm)
     dyn_plan = None
     if (semantics == "att_unit" and bsr is not None
             and not bsr.rowwalk and not bsr.einsum):
@@ -148,6 +157,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                                   bsr.num_row_blocks)
     return HybridSpmm(bsr=bsr, senders=s_f, receivers=r_f, weights=w_f,
                       t_senders=s_t, t_receivers=r_t, t_weights=w_t,
+                      t_edge_perm=jnp.asarray(t_edge_perm, dtype=jnp.int32),
                       num_nodes=num_nodes_padded, semantics=semantics,
                       segmm=segmm, t_segmm=t_segmm, dyn_plan=dyn_plan,
                       diag_blocks=diag_blocks)

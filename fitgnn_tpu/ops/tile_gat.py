@@ -29,6 +29,74 @@ import jax.numpy as jnp
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
 
+# ---------------------------------------------------------------------------
+# Sorted-backward primitives for the straggler per-edge path.
+#
+# Autodiff of ``v[senders]`` / ``segment_sum(..., receivers)`` emits UNSORTED
+# scatter-adds (XLA cannot know the index order), which run at a fraction of
+# the sorted rate on TPU.  Both straggler edge lists are pre-sorted (forward
+# by receiver, transpose by sender) and ``t_edge_perm`` maps per-edge data
+# between the orders — so every backward scatter can ride the sorted list.
+# Measured: the straggler block was 62.8 ms of GAT's 85 ms step with autodiff
+# scatters (PERFORMANCE.md round-2 GAT decomposition).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gather_senders(aux, v):
+    """v[senders] whose backward scatter rides the SORTED transpose list."""
+    return jnp.take(v, aux.senders, axis=0)
+
+
+def _gather_senders_fwd(aux, v):
+    return _gather_senders(aux, v), aux
+
+
+def _gather_senders_bwd(aux, g):
+    dv = jax.ops.segment_sum(jnp.take(g, aux.t_edge_perm, axis=0),
+                             aux.t_receivers, num_segments=aux.num_nodes,
+                             indices_are_sorted=True)
+    return None, dv
+
+
+_gather_senders.defvjp(_gather_senders_fwd, _gather_senders_bwd)
+
+
+@jax.custom_vjp
+def _weighted_spmm_sorted(aux, w, x):
+    """out[r] = Σ_e w[e]·x[s_e] with both backward scatters sorted:
+    dx rides the transpose list, dw is a rowwise dot of sorted gathers."""
+    y = jnp.take(x, aux.senders, axis=0)
+    return jax.ops.segment_sum(y * w[:, None].astype(x.dtype),
+                               aux.receivers, num_segments=aux.num_nodes,
+                               indices_are_sorted=True)
+
+
+def _weighted_spmm_sorted_fwd(aux, w, x):
+    y = jnp.take(x, aux.senders, axis=0)        # saved: avoids the bwd
+    out = jax.ops.segment_sum(y * w[:, None].astype(x.dtype),
+                              aux.receivers, num_segments=aux.num_nodes,
+                              indices_are_sorted=True)
+    return out, (aux, w, y)
+
+
+def _weighted_spmm_sorted_bwd(res, g):
+    aux, w, y = res
+    wt = jnp.take(w, aux.t_edge_perm)
+    gt = jnp.take(g, aux.t_senders, axis=0)
+    dx = jax.ops.segment_sum(gt * wt[:, None].astype(g.dtype),
+                             aux.t_receivers, num_segments=aux.num_nodes,
+                             indices_are_sorted=True)
+    gr = jnp.take(g, aux.receivers, axis=0, indices_are_sorted=True)
+    dw = jnp.sum(gr.astype(jnp.float32) * y.astype(jnp.float32),
+                 axis=-1).astype(w.dtype)
+    return None, dw, dx
+
+
+_weighted_spmm_sorted.defvjp(_weighted_spmm_sorted_fwd,
+                             _weighted_spmm_sorted_bwd)
+
+
 def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
                        h: jnp.ndarray, negative_slope: float) -> jnp.ndarray:
     """Single-head GAT aggregation through ``aux`` (a HybridSpmm with
@@ -45,7 +113,13 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
 
     # ---- straggler per-edge scores (receiver-sorted lists) --------------
     sm = aux.weights > 0
-    es = leaky(score_src[aux.senders] + score_dst[aux.receivers])
+    sorted_bwd = getattr(aux, "t_edge_perm", None) is not None
+    if sorted_bwd:
+        ssrc_e = _gather_senders(aux, score_src)
+    else:
+        ssrc_e = score_src[aux.senders]
+    sdst_e = jnp.take(score_dst, aux.receivers, indices_are_sorted=True)
+    es = leaky(ssrc_e + sdst_e)
     es = jnp.where(sm, es, _NEG)
     m = jax.ops.segment_max(es, aux.receivers, num_segments=n,
                             indices_are_sorted=True)
@@ -67,7 +141,8 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
 
     # ---- straggler numerator/denominator --------------------------------
-    pes = jnp.exp(es - m[aux.receivers]) * sm
+    pes = jnp.exp(es - jnp.take(m, aux.receivers,
+                                indices_are_sorted=True)) * sm
     if (aux.segmm is not None and aux.segmm.edge_ids is not None
             and f <= 128):
         # MXU selector-scatter with the softmax numerators as dynamic
@@ -79,6 +154,8 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
         num = segmm_weighted_spmm(aux.segmm, aux.t_segmm, aux.senders,
                                   aux.receivers, pes, h)
+    elif sorted_bwd:
+        num = _weighted_spmm_sorted(aux, pes, h)
     else:
         num = jax.ops.segment_sum(
             h[aux.senders] * pes[:, None].astype(h.dtype), aux.receivers,

@@ -62,3 +62,61 @@ def test_multihead_falls_back_to_per_edge():
     params = layer.init(jax.random.PRNGKey(0), g_opt.x, g_opt)
     out = layer.apply(params, g_opt.x, g_opt)   # must not crash
     assert out.shape == (g_opt.num_nodes_padded, 16)
+
+
+def test_weighted_spmm_sorted_grads():
+    """The F>128 straggler branch (sorted-backward custom VJP) must match
+    the plain segment-sum reference in forward and both gradients."""
+    import jax.numpy as jnp
+    from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
+    from fitgnn_tpu.ops.tile_gat import _weighted_spmm_sorted
+
+    rng = np.random.default_rng(11)
+    n, e, f = 512, 800, 160           # f > 128: the sorted branch's regime
+    s = rng.integers(0, n, e, dtype=np.int64)
+    r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+    hyb = build_hybrid(s, r, np.ones(e, np.float32), n,
+                       min_block_edges=10 ** 9, use_segmm=False,
+                       semantics="att_unit")
+    assert hyb.t_edge_perm is not None
+    w = jnp.asarray(rng.random(len(hyb.senders)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    def loss_k(ww, xx):
+        return jnp.sum(_weighted_spmm_sorted(hyb, ww, xx) ** 2)
+
+    def loss_r(ww, xx):
+        out = jax.ops.segment_sum(xx[hyb.senders] * ww[:, None],
+                                  hyb.receivers, num_segments=n,
+                                  indices_are_sorted=True)
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(float(loss_k(w, x)), float(loss_r(w, x)),
+                               rtol=1e-5)
+    dw_k, dx_k = jax.grad(loss_k, argnums=(0, 1))(w, x)
+    dw_r, dx_r = jax.grad(loss_r, argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gatconv_wide_features_sorted_branch():
+    """End-to-end GAT grad parity when features > 128 (sorted-backward
+    straggler branch instead of the segmm selector)."""
+    g_plain, g_opt, order = _graphs(seed=5, n=512)
+    layer = GATConv(features=144)
+    params = layer.init(jax.random.PRNGKey(2), g_plain.x, g_plain)
+
+    def loss(p, gg):
+        out = layer.apply(p, gg.x, gg)
+        return jnp.sum(out[: gg.n_node] ** 2)
+
+    np.testing.assert_allclose(float(loss(params, g_opt)),
+                               float(loss(params, g_plain)), rtol=2e-4)
+    g1 = jax.grad(loss)(params, g_plain)
+    g2 = jax.grad(loss)(params, g_opt)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
