@@ -23,8 +23,15 @@ self-loops included.  Exactness is gated by ``tests/test_tile_gat.py``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# A/B knobs for the sorted-backward straggler primitives (bench diagnostics;
+# defaults are the production path)
+_SORTED_SRC = os.environ.get("FITGNN_GAT_SORTED_SRC", "1") == "1"
+_SORTED_NUM = os.environ.get("FITGNN_GAT_SORTED_NUM", "1") == "1"
 
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
@@ -42,10 +49,19 @@ _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 # ---------------------------------------------------------------------------
 
 
+def _take_rows(a, idx, sorted_idx=False):
+    """Gather rows with an in-bounds promise (no FILL_OR_DROP guard) and an
+    optional sorted-indices hint.  ``jnp.take``'s default mode wraps the
+    gather in negative-index selects and a NaN-fill guard; plain ``a[idx]``
+    loses the sorted hint."""
+    return a.at[idx].get(mode="promise_in_bounds",
+                         indices_are_sorted=sorted_idx)
+
+
 @jax.custom_vjp
 def _gather_senders(aux, v):
     """v[senders] whose backward scatter rides the SORTED transpose list."""
-    return jnp.take(v, aux.senders, axis=0)
+    return _take_rows(v, aux.senders)
 
 
 def _gather_senders_fwd(aux, v):
@@ -53,7 +69,7 @@ def _gather_senders_fwd(aux, v):
 
 
 def _gather_senders_bwd(aux, g):
-    dv = jax.ops.segment_sum(jnp.take(g, aux.t_edge_perm, axis=0),
+    dv = jax.ops.segment_sum(_take_rows(g, aux.t_edge_perm),
                              aux.t_receivers, num_segments=aux.num_nodes,
                              indices_are_sorted=True)
     return None, dv
@@ -66,14 +82,14 @@ _gather_senders.defvjp(_gather_senders_fwd, _gather_senders_bwd)
 def _weighted_spmm_sorted(aux, w, x):
     """out[r] = Σ_e w[e]·x[s_e] with both backward scatters sorted:
     dx rides the transpose list, dw is a rowwise dot of sorted gathers."""
-    y = jnp.take(x, aux.senders, axis=0)
+    y = _take_rows(x, aux.senders)
     return jax.ops.segment_sum(y * w[:, None].astype(x.dtype),
                                aux.receivers, num_segments=aux.num_nodes,
                                indices_are_sorted=True)
 
 
 def _weighted_spmm_sorted_fwd(aux, w, x):
-    y = jnp.take(x, aux.senders, axis=0)        # saved: avoids the bwd
+    y = _take_rows(x, aux.senders)              # saved: avoids the bwd
     out = jax.ops.segment_sum(y * w[:, None].astype(x.dtype),
                               aux.receivers, num_segments=aux.num_nodes,
                               indices_are_sorted=True)
@@ -82,12 +98,12 @@ def _weighted_spmm_sorted_fwd(aux, w, x):
 
 def _weighted_spmm_sorted_bwd(res, g):
     aux, w, y = res
-    wt = jnp.take(w, aux.t_edge_perm)
-    gt = jnp.take(g, aux.t_senders, axis=0)
+    wt = _take_rows(w, aux.t_edge_perm)
+    gt = _take_rows(g, aux.t_senders)
     dx = jax.ops.segment_sum(gt * wt[:, None].astype(g.dtype),
                              aux.t_receivers, num_segments=aux.num_nodes,
                              indices_are_sorted=True)
-    gr = jnp.take(g, aux.receivers, axis=0, indices_are_sorted=True)
+    gr = _take_rows(g, aux.receivers, sorted_idx=True)
     dw = jnp.sum(gr.astype(jnp.float32) * y.astype(jnp.float32),
                  axis=-1).astype(w.dtype)
     return None, dw, dx
@@ -114,11 +130,11 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     # ---- straggler per-edge scores (receiver-sorted lists) --------------
     sm = aux.weights > 0
     sorted_bwd = getattr(aux, "t_edge_perm", None) is not None
-    if sorted_bwd:
+    if sorted_bwd and _SORTED_SRC:
         ssrc_e = _gather_senders(aux, score_src)
     else:
         ssrc_e = score_src[aux.senders]
-    sdst_e = jnp.take(score_dst, aux.receivers, indices_are_sorted=True)
+    sdst_e = _take_rows(score_dst, aux.receivers, sorted_idx=True)
     es = leaky(ssrc_e + sdst_e)
     es = jnp.where(sm, es, _NEG)
     m = jax.ops.segment_max(es, aux.receivers, num_segments=n,
@@ -141,8 +157,8 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
 
     # ---- straggler numerator/denominator --------------------------------
-    pes = jnp.exp(es - jnp.take(m, aux.receivers,
-                                indices_are_sorted=True)) * sm
+    pes = jnp.exp(es - _take_rows(m, aux.receivers,
+                                  sorted_idx=True)) * sm
     if (aux.segmm is not None and aux.segmm.edge_ids is not None
             and f <= 128):
         # MXU selector-scatter with the softmax numerators as dynamic
@@ -154,7 +170,7 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
         num = segmm_weighted_spmm(aux.segmm, aux.t_segmm, aux.senders,
                                   aux.receivers, pes, h)
-    elif sorted_bwd:
+    elif sorted_bwd and _SORTED_NUM:
         num = _weighted_spmm_sorted(aux, pes, h)
     else:
         num = jax.ops.segment_sum(
