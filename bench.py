@@ -163,9 +163,9 @@ def main():
     g = g._replace(aux=hyb)
 
     import jax.numpy as jnp
-    from fitgnn_tpu.models.models import preaggregate_features
+    from fitgnn_tpu.models.models import preaggregate_input
     dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
-    preagg = BENCH_LAYER == "GCNConv"
+    preagg = BENCH_LAYER in ("GCNConv", "SAGEConv", "GINConv")
     model = NodeModel(layer_name=BENCH_LAYER, hidden=HIDDEN, num_layers=2,
                       out_dim=NUM_CLASSES, dtype=dtype,
                       first_layer_preaggregated=preagg,
@@ -173,9 +173,10 @@ def main():
                       fused_dropout=BENCH_FUSED_DROPOUT,
                       bit_dropout=BENCH_BIT_DROPOUT)
     if preagg:
-        # layer-0 aggregation folds into ingest: x̃ = Â·X once (exact —
-        # input features are constant, Â(X·W) = (Â·X)·W)
-        x_pre = preaggregate_features(g)
+        # layer-0 aggregation folds into ingest: computed once (exact —
+        # input features are constant).  GCN gets x̃ = Â·X; SAGE/GIN get
+        # concat([X, their neighbor mean/sum]) for the lin_r/ε terms.
+        x_pre = preaggregate_input(g, BENCH_LAYER)
         if dtype is not None:
             x_pre = x_pre.astype(dtype)  # the bf16 stack consumes it
         x_pre.block_until_ready()

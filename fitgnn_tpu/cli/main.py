@@ -92,9 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="store the dense adjacency tiles in bfloat16 "
                         "(halves tile HBM traffic; f32 accumulation)")
     t.add_argument("--preaggregate", action="store_true",
-                   help="GCN --baseline: fold layer-0 aggregation into "
-                        "ingest (exact, A(XW)=(AX)W; removes one SpMM "
-                        "from every step)")
+                   help="GCN/SAGE/GIN --baseline: fold layer-0 aggregation "
+                        "into ingest (exact — input features are constant; "
+                        "removes one SpMM from every step)")
     t.add_argument("--fused_epochs", action="store_true",
                    help="run the Gc phase as one jitted lax.scan over "
                         "epochs (one dispatch per phase; ignored when "
@@ -387,13 +387,14 @@ def _cmd_train_baseline(args) -> int:
         g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,
                         train_mask=train, val_mask=val, test_mask=test)
     task = "classification" if classify else "regression"
-    preagg = args.preaggregate and args.layer_name == "GCNConv"
+    preagg = args.preaggregate and args.layer_name in (
+        "GCNConv", "SAGEConv", "GINConv")
     if preagg:
-        # exact: input features are constant, Â(X·W) = (Â·X)·W — layer 0's
-        # SpMM moves to ingest (tests/test_preagg.py gates parity); the
-        # trained params are interchangeable with the non-preagg model
-        from fitgnn_tpu.models.models import preaggregate_features
-        g = g._replace(x=preaggregate_features(g))
+        # exact: input features are constant — layer 0's SpMM moves to
+        # ingest (tests/test_preagg.py gates parity); the trained params
+        # are interchangeable with the non-preagg model
+        from fitgnn_tpu.models.models import preaggregate_input
+        g = g._replace(x=preaggregate_input(g, args.layer_name))
     model = NodeModel(layer_name=args.layer_name, hidden=args.hidden,
                       num_layers=args.num_layers1,
                       out_dim=num_classes if classify else 1,

@@ -59,12 +59,20 @@ class ConvStack(nn.Module):
     def __call__(self, x: jnp.ndarray, g: Graph, *, train: bool = False):
         for i in range(self.num_layers):
             if i == 0 and self.first_layer_preaggregated:
-                assert self.layer_name == "GCNConv", \
-                    "pre-aggregation is exact for GCN only"
-                # param tree mirrors a regular GCNConv_0 exactly, so weights
+                # param trees mirror the regular layer exactly, so weights
                 # transfer between the two variants as a pytree copy
-                x = _PreAggGCN(self.hidden, dtype=self.dtype,
-                               name="GCNConv_0")(x)
+                if self.layer_name == "GCNConv":
+                    x = _PreAggGCN(self.hidden, dtype=self.dtype,
+                                   name="GCNConv_0")(x)
+                elif self.layer_name == "SAGEConv":
+                    x = _PreAggSAGE(self.hidden, dtype=self.dtype,
+                                    name="SAGEConv_0")(x)
+                elif self.layer_name == "GINConv":
+                    x = _PreAggGIN(self.hidden, dtype=self.dtype,
+                                   name="GINConv_0")(x)
+                else:
+                    raise ValueError(
+                        "pre-aggregation is exact for GCN/SAGE/GIN only")
             else:
                 x = make_layer(self.layer_name, self.hidden, self.dtype,
                                name=f"{self.layer_name}_{i}")(x, g)
@@ -115,6 +123,44 @@ class _PreAggGCN(nn.Module):
                               (self.features,), jnp.float32).astype(h.dtype)
 
 
+class _PreAggSAGE(nn.Module):
+    """Layer 0 of a pre-aggregated SAGE stack: the input is
+    ``concat([X, mean_neigh(X)])`` (raw features are constant, so the
+    neighbor mean is too); out = lin_l(mean) + lin_r(X) — no SpMM."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = x.shape[-1] // 2
+        x_raw, x_mean = x[:, :f], x[:, f:]
+        out = nn.Dense(self.features, use_bias=True, name="lin_l",
+                       dtype=self.dtype)(x_mean)
+        return out + nn.Dense(self.features, use_bias=False, name="lin_r",
+                              dtype=self.dtype)(x_raw)
+
+
+class _PreAggGIN(nn.Module):
+    """Layer 0 of a pre-aggregated GIN stack: the input is
+    ``concat([X, sum_neigh(X)])``; MLP((1+ε)·X + ΣX) with trainable ε —
+    ε multiplies only the raw half, so the sum stays a constant."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = x.shape[-1] // 2
+        x_raw, x_sum = x[:, :f], x[:, f:]
+        eps = self.param("eps", nn.initializers.zeros, ())
+        h = (1.0 + eps).astype(x_raw.dtype) * x_raw + x_sum
+        h = nn.relu(nn.Dense(self.features, name="mlp_0",
+                             dtype=self.dtype)(h))
+        return nn.relu(nn.Dense(self.features, name="mlp_1",
+                                dtype=self.dtype)(h))
+
+
 class NodeModel(nn.Module):
     layer_name: str
     hidden: int
@@ -154,6 +200,36 @@ def preaggregate_features(g: Graph) -> jnp.ndarray:
         return hybrid_spmm(g.aux, g.x)
     return spmm_coo(g.edge_weight, g.senders, g.receivers, g.x,
                     g.num_nodes_padded)
+
+
+def preaggregate_input(g: Graph, layer_name: str) -> jnp.ndarray:
+    """The layer-0 input for a first_layer_preaggregated stack.
+
+    GCN consumes only the aggregate (layer 0 is ``lin(Â·X)+b``); SAGE/GIN
+    need the raw features too (``lin_r``/the ε-term), so they get
+    ``concat([X, agg(X)])`` with agg = their own neighbor mean/sum.  When
+    ``g.aux`` carries the layer's semantics (``graph.optimize`` builds it
+    per layer) the hybrid operator computes the aggregate; otherwise the
+    same segment-op fallbacks as ``models.layers``."""
+    from fitgnn_tpu.ops.hybrid_spmm import HybridSpmm, hybrid_spmm
+    if layer_name == "GCNConv":
+        return preaggregate_features(g)
+    if layer_name not in ("SAGEConv", "GINConv"):
+        raise ValueError(f"pre-aggregation unsupported for {layer_name!r}")
+    want = "mean_nonself" if layer_name == "SAGEConv" else "sum_nonself"
+    if isinstance(g.aux, HybridSpmm) and g.aux.semantics == want:
+        agg = hybrid_spmm(g.aux, g.x)
+    else:
+        from fitgnn_tpu.ops.segment import segment_mean
+        from fitgnn_tpu.ops.spmm import spmm_coo
+        w = jnp.where(g.senders != g.receivers, 1.0, 0.0).astype(g.x.dtype)
+        if layer_name == "SAGEConv":
+            agg = segment_mean(g.x[g.senders], g.receivers,
+                               g.num_nodes_padded, mask=w > 0)
+        else:
+            agg = spmm_coo(w, g.senders, g.receivers, g.x,
+                           g.num_nodes_padded)
+    return jnp.concatenate([g.x, agg.astype(g.x.dtype)], axis=-1)
 
 
 class GraphModel(nn.Module):

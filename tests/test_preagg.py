@@ -68,3 +68,60 @@ class TestPreAggregation:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestPreAggregationSageGin:
+    """SAGE/GIN layer-0 pre-aggregation: exact parity with the regular
+    stack, including the ε gradient (GIN) and identical param trees."""
+
+    def _pair(self, layer_name, seed=0):
+        from fitgnn_tpu.models.models import preaggregate_input
+        g = setup()
+        reg = NodeModel(layer_name=layer_name, hidden=16, num_layers=2,
+                        out_dim=3)
+        pre = NodeModel(layer_name=layer_name, hidden=16, num_layers=2,
+                        out_dim=3, first_layer_preaggregated=True)
+        params = reg.init(jax.random.PRNGKey(seed), g.x, g)
+        x_pre = preaggregate_input(g, layer_name)
+        assert x_pre.shape[-1] == 2 * g.x.shape[-1]
+        return g, reg, pre, params, x_pre
+
+    def test_sage_forward_and_grads(self):
+        g, reg, pre, params, x_pre = self._pair("SAGEConv")
+        out_reg = reg.apply(params, g.x, g)
+        out_pre = pre.apply(params, x_pre, g)
+        np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_reg),
+                                   rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(lambda p: -jnp.mean(reg.apply(p, g.x, g)[:, 0]))(params)
+        g2 = jax.grad(lambda p: -jnp.mean(pre.apply(p, x_pre, g)[:, 0]))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_gin_forward_and_grads(self):
+        g, reg, pre, params, x_pre = self._pair("GINConv")
+        out_reg = reg.apply(params, g.x, g)
+        out_pre = pre.apply(params, x_pre, g)
+        np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_reg),
+                                   rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(lambda p: -jnp.mean(reg.apply(p, g.x, g)[:, 0]))(params)
+        g2 = jax.grad(lambda p: -jnp.mean(pre.apply(p, x_pre, g)[:, 0]))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_param_trees_identical(self):
+        from fitgnn_tpu.models.models import preaggregate_input
+        g = setup()
+        for layer in ("SAGEConv", "GINConv"):
+            reg = NodeModel(layer_name=layer, hidden=8, num_layers=2,
+                            out_dim=3)
+            pre = NodeModel(layer_name=layer, hidden=8, num_layers=2,
+                            out_dim=3, first_layer_preaggregated=True)
+            p1 = reg.init(jax.random.PRNGKey(0), g.x, g)
+            p2 = pre.init(jax.random.PRNGKey(0),
+                          preaggregate_input(g, layer), g)
+            assert (jax.tree_util.tree_structure(p1)
+                    == jax.tree_util.tree_structure(p2)), layer
