@@ -28,10 +28,13 @@ import os
 import jax
 import jax.numpy as jnp
 
-# A/B knobs for the sorted-backward straggler primitives (bench diagnostics;
-# defaults are the production path)
-_SORTED_SRC = os.environ.get("FITGNN_GAT_SORTED_SRC", "1") == "1"
-_SORTED_NUM = os.environ.get("FITGNN_GAT_SORTED_NUM", "1") == "1"
+# Sorted-backward straggler primitives: measured SLOWER than XLA autodiff
+# on the bench graph (85.0 ms autodiff vs 88.0/89.6/92.2 ms with the
+# NUM/SRC/both custom VJPs) — XLA fuses the gather+mul+scatter chains
+# across the backward better than the decomposed sorted passes, so the
+# opt-ins default OFF and exist as diagnostics.
+_SORTED_SRC = os.environ.get("FITGNN_GAT_SORTED_SRC", "0") == "1"
+_SORTED_NUM = os.environ.get("FITGNN_GAT_SORTED_NUM", "0") == "1"
 
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
@@ -44,8 +47,8 @@ _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 # the sorted rate on TPU.  Both straggler edge lists are pre-sorted (forward
 # by receiver, transpose by sender) and ``t_edge_perm`` maps per-edge data
 # between the orders — so every backward scatter can ride the sorted list.
-# Measured: the straggler block was 62.8 ms of GAT's 85 ms step with autodiff
-# scatters (PERFORMANCE.md round-2 GAT decomposition).
+# In practice XLA's fused autodiff chains beat these decomposed passes on
+# the bench graph (see knob comment below) — they stay as opt-ins.
 # ---------------------------------------------------------------------------
 
 
