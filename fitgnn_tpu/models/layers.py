@@ -93,7 +93,8 @@ class GATConv(nn.Module):
             from fitgnn_tpu.ops.tile_gat import tile_gat_attention
             out = tile_gat_attention(g.aux, score_src[:, 0],
                                      score_dst[:, 0], h[:, 0, :],
-                                     self.negative_slope)[:, None, :]
+                                     self.negative_slope,
+                                     att_src=a_src[0])[:, None, :]
         else:
             from fitgnn_tpu.ops.sddmm import gather_concat_score
             e = gather_concat_score(g.senders, g.receivers,

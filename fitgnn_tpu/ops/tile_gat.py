@@ -117,12 +117,19 @@ _weighted_spmm_sorted.defvjp(_weighted_spmm_sorted_fwd,
 
 
 def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
-                       h: jnp.ndarray, negative_slope: float) -> jnp.ndarray:
+                       h: jnp.ndarray, negative_slope: float,
+                       att_src: jnp.ndarray | None = None) -> jnp.ndarray:
     """Single-head GAT aggregation through ``aux`` (a HybridSpmm with
     ``semantics='att_unit'``: presence tiles + straggler edge lists).
 
     ``score_src``/``score_dst``: (N,) per-node attention projections;
-    ``h``: (N, F) transformed features.  Returns (N, F)."""
+    ``h``: (N, F) transformed features.  ``att_src``: the (F,) attention
+    vector — when given, straggler sender scores are derived from the
+    gathered message rows (``(h[senders])·a_src``) instead of a per-edge
+    scalar gather of ``score_src``: the rows are fetched for the numerator
+    anyway, so the unsorted 4-byte-row gather (row-rate-bound) and its
+    backward scalar scatter disappear; the score gradient rides the
+    message rows' vectorized path.  Returns (N, F)."""
     bsr = aux.bsr
     n = aux.num_nodes
     f = h.shape[-1]
@@ -133,7 +140,15 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     # ---- straggler per-edge scores (receiver-sorted lists) --------------
     sm = aux.weights > 0
     sorted_bwd = getattr(aux, "t_edge_perm", None) is not None
-    if sorted_bwd and _SORTED_SRC:
+    use_segmm = (aux.segmm is not None and aux.segmm.edge_ids is not None
+                 and f <= 128)
+    y = None
+    if att_src is not None and not use_segmm and not (sorted_bwd
+                                                      and _SORTED_NUM):
+        y = _take_rows(h, aux.senders)              # reused by the numerator
+        ssrc_e = jnp.einsum("ef,f->e", y.astype(jnp.float32),
+                            att_src.astype(jnp.float32))
+    elif sorted_bwd and _SORTED_SRC:
         ssrc_e = _gather_senders(aux, score_src)
     else:
         ssrc_e = score_src[aux.senders]
@@ -162,8 +177,7 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     # ---- straggler numerator/denominator --------------------------------
     pes = jnp.exp(es - _take_rows(m, aux.receivers,
                                   sorted_idx=True)) * sm
-    if (aux.segmm is not None and aux.segmm.edge_ids is not None
-            and f <= 128):
+    if use_segmm:
         # MXU selector-scatter with the softmax numerators as dynamic
         # per-edge selector weights (same bf16 rounding of α as the
         # segment_sum path's ``astype(h.dtype)``).  Gated to narrow
@@ -176,8 +190,10 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     elif sorted_bwd and _SORTED_NUM:
         num = _weighted_spmm_sorted(aux, pes, h)
     else:
+        if y is None:
+            y = h[aux.senders]
         num = jax.ops.segment_sum(
-            h[aux.senders] * pes[:, None].astype(h.dtype), aux.receivers,
+            y * pes[:, None].astype(h.dtype), aux.receivers,
             num_segments=n, indices_are_sorted=True)
     den = jax.ops.segment_sum(pes, aux.receivers, num_segments=n,
                               indices_are_sorted=True)
