@@ -118,6 +118,44 @@ class TestTorchParity:
                        + torch.tensor(np.asarray(p["mlp_1"]["bias"])))
         np.testing.assert_allclose(ours, h.numpy(), rtol=1e-4, atol=1e-5)
 
+    def test_gat_narrow_side_expanding_layer(self, rng):
+        """Single-head EXPANDING GAT layer (F_in < C) takes the narrow-side
+        aggregation path (Σ α·x)·W with scores x·(W·a); it must match the
+        torch oracle computed with the standard wide formula Σ α·(X·W)."""
+        from fitgnn_tpu.models import GATConv
+
+        x, s, r = graph_fixture(rng)                  # F_in = 12
+        c = 24                                        # expanding: 12 -> 24
+        g = build_graph(x, s, r, normalize=False)
+        layer = GATConv(features=c, heads=1)
+        params = layer.init(jax.random.PRNGKey(7), g.x, g)
+        ours = np.asarray(layer.apply(params, g.x, g))[: x.shape[0]]
+
+        p = params["params"]
+        n = x.shape[0]
+        w = torch.tensor(np.asarray(p["lin"]["kernel"]))      # (F, C)
+        a_src = torch.tensor(np.asarray(p["att_src"]))[0]     # (C,)
+        a_dst = torch.tensor(np.asarray(p["att_dst"]))[0]
+        bias = torch.tensor(np.asarray(p["bias"]))
+        es, er = [], []
+        for u, v in zip(s, r):
+            es += [u, v]
+            er += [v, u]
+        es += list(range(n))
+        er += list(range(n))
+        es, er = torch.tensor(es), torch.tensor(er)
+        h = torch.tensor(x) @ w                               # wide formula
+        e = torch.nn.functional.leaky_relu(
+            (h * a_src).sum(-1)[es] + (h * a_dst).sum(-1)[er],
+            negative_slope=0.2)
+        out = torch.zeros(n, c)
+        for node in range(n):
+            sel = er == node
+            a_ = torch.softmax(e[sel], dim=0)
+            out[node] = (a_[:, None] * h[es[sel]]).sum(0)
+        np.testing.assert_allclose(ours, (out + bias).numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_gat_layer_activations_and_attention(self, rng):
         """GAT parity: attention coefficients AND output vs a from-scratch
         torch implementation of PyG GATConv semantics (additive attention,
