@@ -35,6 +35,12 @@ import jax.numpy as jnp
 # opt-ins default OFF and exist as diagnostics.
 _SORTED_SRC = os.environ.get("FITGNN_GAT_SORTED_SRC", "0") == "1"
 _SORTED_NUM = os.environ.get("FITGNN_GAT_SORTED_NUM", "0") == "1"
+# Width gate for the dynamic-weight MXU selector-scatter (segmm) straggler
+# numerator.  Its backward re-gathers x[senders] and scatters the scalar
+# score grads, so at f=128 it LOSES to the y-reuse segment_sum path
+# (bench GAT: 70.6 ms segmm vs 63.2 ms without); it stays on only for
+# genuinely narrow aggregations (the hidden→classes layer, f≈40).
+_SEGMM_MAX_F = int(os.environ.get("FITGNN_GAT_SEGMM_MAXF", "64"))
 
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
@@ -141,7 +147,7 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     sm = aux.weights > 0
     sorted_bwd = getattr(aux, "t_edge_perm", None) is not None
     use_segmm = (aux.segmm is not None and aux.segmm.edge_ids is not None
-                 and f <= 128)
+                 and f <= _SEGMM_MAX_F)
     y = None
     if att_src is not None and not use_segmm and not (sorted_bwd
                                                       and _SORTED_NUM):
