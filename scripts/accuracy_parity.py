@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--epochs1", type=int, default=60)
     ap.add_argument("--epochs2", type=int, default=60)
     ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--layer", default="GCNConv",
+                    help="conv layer for all runs (GCNConv/GATConv/...)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +45,7 @@ def main():
     common = ["--dataset", "sbm", "--data_root", "dataset",
               "--experiment", "random", "--hidden", str(args.hidden),
               "--runs", str(args.runs), "--epochs1", str(args.epochs1),
-              "--epochs2", str(args.epochs2)]
+              "--epochs2", str(args.epochs2), "--layer_name", args.layer]
 
     def parse_last_acc(baseline: bool):
         import csv
