@@ -41,6 +41,11 @@ _SORTED_NUM = os.environ.get("FITGNN_GAT_SORTED_NUM", "0") == "1"
 # (bench GAT: 70.6 ms segmm vs 63.2 ms without); it stays on only for
 # genuinely narrow aggregations (the hidden→classes layer, f≈40).
 _SEGMM_MAX_F = int(os.environ.get("FITGNN_GAT_SEGMM_MAXF", "64"))
+# Fused tile-attention kernels (ops/pallas/att_bsr.py): recompute tile
+# scores in-kernel from the per-node score vectors instead of
+# materializing the (K,b,b) e/pe tensors (~143 MB each at bench scale)
+# in HBM between XLA and the dynamic-BSR kernel.
+_FUSED_TILES = os.environ.get("FITGNN_GAT_FUSED_TILES", "1") == "1"
 
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
@@ -164,7 +169,22 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     m = jax.ops.segment_max(es, aux.receivers, num_segments=n,
                             indices_are_sorted=True)
 
-    if bsr is not None:
+    fused = (bsr is not None and getattr(aux, "dyn_plan", None) is not None
+             and f <= 512 and _FUSED_TILES)
+    if fused:
+        from fitgnn_tpu.ops.pallas.att_bsr import (att_rowmax, att_tiles,
+                                                   _use_interpret)
+        # the softmax max is a constant (stop_gradient, like segment_softmax):
+        # stop the score tangents HERE so AD never traces the rowmax kernel
+        m_tiles = att_rowmax(bsr.rows, bsr.cols, bsr.blocks,
+                             jax.lax.stop_gradient(
+                                 score_src.astype(jnp.float32)),
+                             jax.lax.stop_gradient(
+                                 score_dst.astype(jnp.float32)), bsr.block,
+                             float(negative_slope),
+                             interpret=_use_interpret())
+        m = jnp.maximum(m, m_tiles)
+    elif bsr is not None:
         b = bsr.block
         nb = n // b
         rows, cols = bsr.rows, bsr.cols
@@ -205,7 +225,14 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
                               indices_are_sorted=True)
 
     # ---- tile numerator/denominator --------------------------------------
-    if bsr is not None:
+    if fused:
+        num_t, den_t = att_tiles(bsr.block, float(negative_slope),
+                                 bsr.rows, bsr.cols, aux.dyn_plan,
+                                 bsr.blocks, score_src.astype(jnp.float32),
+                                 score_dst.astype(jnp.float32), m, h)
+        num = num + num_t.astype(num.dtype)
+        den = den + den_t
+    elif bsr is not None:
         mrow = m.reshape(nb, b)[rows]               # (K,b)
         pe = jnp.exp(e - mrow[:, :, None])
         pe = jnp.where(mask, pe, 0.0)
