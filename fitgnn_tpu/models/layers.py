@@ -132,7 +132,8 @@ class GATConv(nn.Module):
             e = nn.leaky_relu(e, negative_slope=self.negative_slope)
             alpha = segment_softmax(e, g.receivers, n,
                                     mask=g.edge_mask)        # (E, H)
-            msg = h[g.senders] * alpha[..., None].astype(h.dtype)
+            from fitgnn_tpu.ops.segment import take_rows
+            msg = take_rows(h, g.senders) * alpha[..., None].astype(h.dtype)
             out = segment_sum(msg, g.receivers, n)           # (N, H, C|F_in)
         if narrow:
             # transform AFTER aggregation: (Σ α·x)·W
@@ -162,7 +163,8 @@ class SAGEConv(nn.Module):
             agg = lambda h: hybrid_spmm(g.aux, h)          # noqa: E731
         else:
             w = _nonself_weight(g)
-            agg = lambda h: segment_mean(h[g.senders],     # noqa: E731
+            from fitgnn_tpu.ops.segment import take_rows
+            agg = lambda h: segment_mean(take_rows(h, g.senders),  # noqa: E731
                                          g.receivers, g.num_nodes_padded,
                                          mask=w > 0)
         lin_l = nn.Dense(self.features, use_bias=True, name="lin_l",

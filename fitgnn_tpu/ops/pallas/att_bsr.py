@@ -24,9 +24,13 @@ static presence tiles:
                         forward-order walk.
 
 HBM traffic per pass = static presence tiles + feature slabs only; the
-(K, b, b) intermediates never exist.  Semantics gated against the XLA
-two-stage path by ``tests/test_att_bsr.py``.  Reference hot loop:
-PyG GATConv per-edge softmax (``network.py:13``).
+(K, b, b) intermediates never exist.  Per-node vectors ride an
+8-sublane-REPLICATED (nb, 8, b) layout: Mosaic requires the last two
+block dims divisible by (8, 128), so a (1, b) vector block is illegal —
+each vector is broadcast across 8 sublanes host-side (a few MB) and the
+kernels read sublane 0.  Semantics gated against the XLA two-stage path
+by ``tests/test_att_bsr.py``.  Reference hot loop: PyG GATConv per-edge
+softmax (``network.py:13``).
 
 Requires F ≤ 512 (single feature step per tile walk — GAT widths here are
 ≤ 512; wider falls back to the two-stage path).
@@ -42,20 +46,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
+_R = 8          # sublane replication of per-node vectors
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _scores_tile(blk, sdst_t, ssrc_t, m_t, slope):
-    """Recompute ``pe`` for one tile from resident score rows.
+def _rep8(v: jnp.ndarray, nb: int, b: int) -> jnp.ndarray:
+    """(n,) → (nb, 8, b) with the vector replicated across sublanes."""
+    return jnp.broadcast_to(v.reshape(nb, 1, b), (nb, _R, b))
 
-    ``blk``: (b, b) static presence values; ``sdst_t``/``m_t``: (1, b) rows
-    for the OUT block; ``ssrc_t``: (1, b) row for the X block."""
-    raw = sdst_t.T + ssrc_t                      # (b, 1) + (1, b) -> (b, b)
+
+def _row(ref):
+    """(1, 8, b) vector block → (1, b) row (sublane 0)."""
+    return ref[0][0:1, :]
+
+
+def _col(ref):
+    """(1, 8, b) vector block → (b, 1) column (transpose, sublane 0)."""
+    return ref[0].T[:, 0:1]
+
+
+def _pe_tile(blk, sdst_col, ssrc_row, m_col, slope):
+    """Recompute ``pe`` for one tile: (b, b) from resident score vectors."""
+    raw = sdst_col + ssrc_row
     e = jnp.where(raw >= 0, raw, slope * raw)
-    return jnp.where(blk != 0, jnp.exp(e - m_t.T), 0.0)
+    return jnp.where(blk != 0, jnp.exp(e - m_col), 0.0)
 
 
 def _rowmax_kernel(slope, rows_ref, cols_ref, blk_ref, ssrc_ref, sdst_ref,
@@ -66,12 +83,13 @@ def _rowmax_kernel(slope, rows_ref, cols_ref, blk_ref, ssrc_ref, sdst_ref,
 
     @pl.when(jnp.logical_or(k == 0, row != prev))
     def _():
-        o_ref[:] = jnp.full_like(o_ref, _NEG)
+        o_ref[...] = jnp.full_like(o_ref, _NEG)
 
-    raw = sdst_ref[:].T + ssrc_ref[:]
+    raw = _col(sdst_ref) + _row(ssrc_ref)
     e = jnp.where(raw >= 0, raw, slope * raw)
     e = jnp.where(blk_ref[0] != 0, e, _NEG)
-    o_ref[:] = jnp.maximum(o_ref[:], jnp.max(e, axis=1)[None, :])
+    rm = jnp.max(e, axis=1)                                  # (b,)
+    o_ref[...] = jnp.maximum(o_ref[...], rm[None, None, :])
 
 
 @functools.partial(jax.jit, static_argnames=("block", "slope", "interpret"))
@@ -90,18 +108,18 @@ def att_rowmax(rows, cols, blocks, ssrc, sdst, block, slope,
             in_specs=[
                 pl.BlockSpec((1, block, block), lambda k, rows, cols:
                              (k, 0, 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (cols[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (cols[k], 0, 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block), lambda k, rows, cols:
-                                   (rows[k], 0)),
+            out_specs=pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                                   (rows[k], 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, _R, block), jnp.float32),
         interpret=interpret,
-    )(rows, cols, blocks, ssrc.reshape(nb, block), sdst.reshape(nb, block))
-    return out.reshape(n)
+    )(rows, cols, blocks, _rep8(ssrc, nb, block), _rep8(sdst, nb, block))
+    return out[:, 0, :].reshape(n)
 
 
 def _fwd_kernel(slope, rows_ref, cols_ref, blk_ref, ssrc_ref, sdst_ref,
@@ -112,15 +130,16 @@ def _fwd_kernel(slope, rows_ref, cols_ref, blk_ref, ssrc_ref, sdst_ref,
 
     @pl.when(jnp.logical_or(k == 0, row != prev))
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-        den_ref[:] = jnp.zeros_like(den_ref)
+        o_ref[...] = jnp.zeros_like(o_ref)
+        den_ref[...] = jnp.zeros_like(den_ref)
 
-    pe = _scores_tile(blk_ref[0], sdst_ref[:], ssrc_ref[:], m_ref[:], slope)
-    xb = x_ref[:]
-    o_ref[:] += jnp.dot(pe.astype(xb.dtype), xb,
-                        preferred_element_type=jnp.float32
-                        ).astype(o_ref.dtype)
-    den_ref[:] += jnp.sum(pe, axis=1)[None, :]
+    pe = _pe_tile(blk_ref[0], _col(sdst_ref), _row(ssrc_ref), _col(m_ref),
+                  slope)
+    xb = x_ref[...]
+    o_ref[...] += jnp.dot(pe.astype(xb.dtype), xb,
+                          preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
+    den_ref[...] += jnp.sum(pe, axis=1)[None, None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "slope", "interpret"))
@@ -137,30 +156,30 @@ def _att_fwd(rows, cols, blocks, ssrc, sdst, m, x, block, slope,
             in_specs=[
                 pl.BlockSpec((1, block, block), lambda k, rows, cols:
                              (k, 0, 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (cols[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (cols[k], 0, 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
                 pl.BlockSpec((block, feat), lambda k, rows, cols:
                              (cols[k], 0)),
             ],
             out_specs=[
                 pl.BlockSpec((block, feat), lambda k, rows, cols:
                              (rows[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n, feat), x.dtype),
-            jax.ShapeDtypeStruct((nb, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _R, block), jnp.float32),
         ],
         interpret=interpret,
-    )(rows, cols, blocks, ssrc.reshape(nb, block), sdst.reshape(nb, block),
-      m.reshape(nb, block), x)
-    return out, den.reshape(n)
+    )(rows, cols, blocks, _rep8(ssrc, nb, block), _rep8(sdst, nb, block),
+      _rep8(m, nb, block), x)
+    return out, den[:, 0, :].reshape(n)
 
 
 def _bwd_t_kernel(slope, trows_ref, tcols_ref, sel_ref, scale_ref, blk_ref,
@@ -172,32 +191,32 @@ def _bwd_t_kernel(slope, trows_ref, tcols_ref, sel_ref, scale_ref, blk_ref,
 
     @pl.when(jnp.logical_or(k == 0, row != prev))
     def _():
-        dx_ref[:] = jnp.zeros_like(dx_ref)
-        dssrc_ref[:] = jnp.zeros_like(dssrc_ref)
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+        dssrc_ref[...] = jnp.zeros_like(dssrc_ref)
 
     # forward-orientation tile: fwd row block = tcols[k], col block = trows[k]
     blk = blk_ref[0]
-    sdst_t = sdst_ref[:]                        # (1, b) fwd OUT block rows
-    ssrc_t = ssrc_ref[:]                        # (1, b) fwd X block rows
-    raw = sdst_t.T + ssrc_t
+    sdst_col = _col(sdst_ref)                   # fwd OUT rows (b, 1)
+    ssrc_row = _row(ssrc_ref)                   # fwd X rows   (1, b)
+    raw = sdst_col + ssrc_row
     e = jnp.where(raw >= 0, raw, slope * raw)
     mask = blk != 0
-    pe = jnp.where(mask, jnp.exp(e - m_ref[:].T), 0.0)
+    pe = jnp.where(mask, jnp.exp(e - _col(m_ref)), 0.0)
     scale = scale_ref[k].astype(jnp.float32)
 
-    gb = g_ref[:]                               # (b, feat) g[fwd row block]
+    gb = g_ref[...]                             # (b, feat) g[fwd row block]
     # dx[fwd col] += peᵀ @ g
-    dx_ref[:] += (scale * jnp.dot(pe.T.astype(gb.dtype), gb,
-                                  preferred_element_type=jnp.float32)
-                  ).astype(dx_ref.dtype)
+    dx_ref[...] += (scale * jnp.dot(pe.T.astype(gb.dtype), gb,
+                                    preferred_element_type=jnp.float32)
+                    ).astype(dx_ref.dtype)
     # d_pe = g @ xᵀ + d_den[fwd row]  (den = Σ_j pe)
-    xb = x_ref[:]                               # (b, feat) x[fwd col block]
+    xb = x_ref[...]                             # (b, feat) x[fwd col block]
     d_pe = jnp.dot(gb.astype(jnp.float32), xb.astype(jnp.float32).T,
                    preferred_element_type=jnp.float32)
-    d_pe = d_pe + dden_ref[:].T                 # broadcast over cols
+    d_pe = d_pe + _col(dden_ref)                # broadcast over cols
     d_raw = jnp.where(mask, d_pe * pe, 0.0)
     d_raw = jnp.where(raw >= 0, d_raw, slope * d_raw)
-    dssrc_ref[:] += scale * jnp.sum(d_raw, axis=0)[None, :]
+    dssrc_ref[...] += scale * jnp.sum(d_raw, axis=0)[None, None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "slope", "interpret"))
@@ -214,35 +233,35 @@ def _att_bwd_t(trows, tcols, sel, scale, blocks, ssrc, sdst, m, g, x, dden,
             in_specs=[
                 pl.BlockSpec((1, block, block),
                              lambda k, tr, tc, sel, sc: (sel[k], 0, 0)),
-                pl.BlockSpec((1, block),
-                             lambda k, tr, tc, sel, sc: (tr[k], 0)),
-                pl.BlockSpec((1, block),
-                             lambda k, tr, tc, sel, sc: (tc[k], 0)),
-                pl.BlockSpec((1, block),
-                             lambda k, tr, tc, sel, sc: (tc[k], 0)),
+                pl.BlockSpec((1, _R, block),
+                             lambda k, tr, tc, sel, sc: (tr[k], 0, 0)),
+                pl.BlockSpec((1, _R, block),
+                             lambda k, tr, tc, sel, sc: (tc[k], 0, 0)),
+                pl.BlockSpec((1, _R, block),
+                             lambda k, tr, tc, sel, sc: (tc[k], 0, 0)),
                 pl.BlockSpec((block, feat),
                              lambda k, tr, tc, sel, sc: (tc[k], 0)),
                 pl.BlockSpec((block, feat),
                              lambda k, tr, tc, sel, sc: (tr[k], 0)),
-                pl.BlockSpec((1, block),
-                             lambda k, tr, tc, sel, sc: (tc[k], 0)),
+                pl.BlockSpec((1, _R, block),
+                             lambda k, tr, tc, sel, sc: (tc[k], 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((block, feat),
                              lambda k, tr, tc, sel, sc: (tr[k], 0)),
-                pl.BlockSpec((1, block),
-                             lambda k, tr, tc, sel, sc: (tr[k], 0)),
+                pl.BlockSpec((1, _R, block),
+                             lambda k, tr, tc, sel, sc: (tr[k], 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n, feat), g.dtype),
-            jax.ShapeDtypeStruct((nb, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _R, block), jnp.float32),
         ],
         interpret=interpret,
-    )(trows, tcols, sel, scale, blocks, ssrc.reshape(nb, block),
-      sdst.reshape(nb, block), m.reshape(nb, block), g, x,
-      dden.reshape(nb, block))
-    return dx, dssrc.reshape(n)
+    )(trows, tcols, sel, scale, blocks, _rep8(ssrc, nb, block),
+      _rep8(sdst, nb, block), _rep8(m, nb, block), g, x,
+      _rep8(dden, nb, block))
+    return dx, dssrc[:, 0, :].reshape(n)
 
 
 def _bwd_f_kernel(slope, rows_ref, cols_ref, blk_ref, ssrc_ref, sdst_ref,
@@ -253,20 +272,20 @@ def _bwd_f_kernel(slope, rows_ref, cols_ref, blk_ref, ssrc_ref, sdst_ref,
 
     @pl.when(jnp.logical_or(k == 0, row != prev))
     def _():
-        dsdst_ref[:] = jnp.zeros_like(dsdst_ref)
+        dsdst_ref[...] = jnp.zeros_like(dsdst_ref)
 
     blk = blk_ref[0]
-    raw = sdst_ref[:].T + ssrc_ref[:]
+    raw = _col(sdst_ref) + _row(ssrc_ref)
     e = jnp.where(raw >= 0, raw, slope * raw)
     mask = blk != 0
-    pe = jnp.where(mask, jnp.exp(e - m_ref[:].T), 0.0)
-    d_pe = jnp.dot(g_ref[:].astype(jnp.float32),
-                   x_ref[:].astype(jnp.float32).T,
+    pe = jnp.where(mask, jnp.exp(e - _col(m_ref)), 0.0)
+    d_pe = jnp.dot(g_ref[...].astype(jnp.float32),
+                   x_ref[...].astype(jnp.float32).T,
                    preferred_element_type=jnp.float32)
-    d_pe = d_pe + dden_ref[:].T
+    d_pe = d_pe + _col(dden_ref)
     d_raw = jnp.where(mask, d_pe * pe, 0.0)
     d_raw = jnp.where(raw >= 0, d_raw, slope * d_raw)
-    dsdst_ref[:] += jnp.sum(d_raw, axis=1)[None, :]
+    dsdst_ref[...] += jnp.sum(d_raw, axis=1)[None, None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "slope", "interpret"))
@@ -283,27 +302,27 @@ def _att_bwd_f(rows, cols, blocks, ssrc, sdst, m, g, x, dden, block, slope,
             in_specs=[
                 pl.BlockSpec((1, block, block), lambda k, rows, cols:
                              (k, 0, 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (cols[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (cols[k], 0, 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
                 pl.BlockSpec((block, feat), lambda k, rows, cols:
                              (rows[k], 0)),
                 pl.BlockSpec((block, feat), lambda k, rows, cols:
                              (cols[k], 0)),
-                pl.BlockSpec((1, block), lambda k, rows, cols:
-                             (rows[k], 0)),
+                pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                             (rows[k], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block), lambda k, rows, cols:
-                                   (rows[k], 0)),
+            out_specs=pl.BlockSpec((1, _R, block), lambda k, rows, cols:
+                                   (rows[k], 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, _R, block), jnp.float32),
         interpret=interpret,
-    )(rows, cols, blocks, ssrc.reshape(nb, block), sdst.reshape(nb, block),
-      m.reshape(nb, block), g, x, dden.reshape(nb, block))
-    return dsdst.reshape(n)
+    )(rows, cols, blocks, _rep8(ssrc, nb, block), _rep8(sdst, nb, block),
+      _rep8(m, nb, block), g, x, _rep8(dden, nb, block))
+    return dsdst[:, 0, :].reshape(n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -178,7 +178,8 @@ def _use_interpret() -> bool:
 
 def segmm_spmm(m: SegMM, x: jnp.ndarray) -> jnp.ndarray:
     """out = A·x for the straggler edges (gather in XLA, scatter on MXU)."""
-    y = x[m.senders]       # (E_pad, F) stream; BlockSpec slices per chunk
+    from fitgnn_tpu.ops.segment import take_rows
+    y = take_rows(x, m.senders)  # (E_pad, F) stream; BlockSpec per chunk
     return _segmm_scatter(m.block_ids, m.aux, y, m.num_nodes,
                           interpret=_use_interpret())
 
@@ -188,7 +189,9 @@ def _dyn_aux(m: SegMM, w_edge: jnp.ndarray) -> jnp.ndarray:
     to slot order, times the static build weight (1 on real slots, 0 on
     padding/filler — so padding slots stay inert)."""
     n_chunks, _, chunk = m.aux.shape
-    ws = w_edge[m.edge_ids].astype(m.aux.dtype) * m.aux[:, 1, :].reshape(-1)
+    from fitgnn_tpu.ops.segment import take_rows
+    ws = (take_rows(w_edge, m.edge_ids).astype(m.aux.dtype)
+          * m.aux[:, 1, :].reshape(-1))
     return m.aux.at[:, 1, :].set(ws.reshape(n_chunks, chunk))
 
 
@@ -204,7 +207,8 @@ def segmm_weighted_spmm(m: SegMM, mt: SegMM, senders: jnp.ndarray,
     ``receivers``/``w_edge`` are in forward (receiver-sorted) edge order.
     Differentiable in ``w_edge`` and ``x``: dx rides the transpose
     selector-scatter, dw is the per-edge SDDMM ⟨g[r], x[s]⟩."""
-    y = x[m.senders]
+    from fitgnn_tpu.ops.segment import take_rows
+    y = take_rows(x, m.senders)
     return _segmm_scatter(m.block_ids, _dyn_aux(m, w_edge), y, m.num_nodes,
                           interpret=_use_interpret())
 
@@ -216,11 +220,13 @@ def _segmm_weighted_fwd(m, mt, senders, receivers, w_edge, x):
 
 def _segmm_weighted_bwd(res, g):
     m, mt, senders, receivers, w_edge, x = res
-    yt = g[mt.senders]
+    from fitgnn_tpu.ops.segment import take_rows
+    yt = take_rows(g, mt.senders)
     dx = _segmm_scatter(mt.block_ids, _dyn_aux(mt, w_edge), yt,
                         mt.num_nodes, interpret=_use_interpret())
-    dw = jnp.sum(g[receivers].astype(jnp.float32)
-                 * x[senders].astype(jnp.float32), axis=-1
+    dw = jnp.sum(take_rows(g, receivers, sorted_idx=True
+                           ).astype(jnp.float32)
+                 * take_rows(x, senders).astype(jnp.float32), axis=-1
                  ).astype(w_edge.dtype)
     return None, None, None, None, dw, dx
 

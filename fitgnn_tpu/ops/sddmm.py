@@ -10,11 +10,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from fitgnn_tpu.ops.segment import take_rows
+
 
 def sddmm_dot(senders: jnp.ndarray, receivers: jnp.ndarray,
               a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """score[e] = <a[send[e]], b[recv[e]]> — (E,) or (E, H) for (N,H,F) input."""
-    ga, gb = a[senders], b[receivers]
+    ga, gb = take_rows(a, senders), take_rows(b, receivers)
     return jnp.sum(ga * gb, axis=-1)
 
 
@@ -24,4 +26,4 @@ def gather_concat_score(senders, receivers, src_score, dst_score):
     ``src_score``/``dst_score``: (N, H) precomputed a_l·Wh / a_r·Wh terms.
     Returns (E, H).
     """
-    return src_score[senders] + dst_score[receivers]
+    return take_rows(src_score, senders) + take_rows(dst_score, receivers)

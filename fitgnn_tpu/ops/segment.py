@@ -15,6 +15,18 @@ import jax.numpy as jnp
 _NEG = -1e30
 
 
+def take_rows(a: jnp.ndarray, idx: jnp.ndarray,
+              sorted_idx: bool = False) -> jnp.ndarray:
+    """Row gather with the fast index mode.
+
+    Plain ``a[idx]`` lowers with FILL_OR_DROP out-of-bounds guards that
+    cost 4-10× on TPU (measured 86 ns/row plain vs 8-13 ns/row guard-free
+    at n=169k, F=128 — ``scripts/gather_mode_micro.py``).  All edge lists
+    here are constructed in-bounds, so use ``clip`` (the fastest measured
+    mode; clamping never triggers)."""
+    return a.at[idx].get(mode="clip", indices_are_sorted=sorted_idx)
+
+
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
                 indices_are_sorted: bool = True) -> jnp.ndarray:
     return jax.ops.segment_sum(

@@ -27,7 +27,8 @@ def spmm_coo(edge_weight: jnp.ndarray, senders: jnp.ndarray,
     Padding edges must have weight 0 (they then contribute nothing even
     though they point at the padding node).
     """
-    gathered = x[senders] * edge_weight[:, None].astype(x.dtype)
+    from fitgnn_tpu.ops.segment import take_rows
+    gathered = take_rows(x, senders) * edge_weight[:, None].astype(x.dtype)
     return segment_sum(gathered, receivers, num_nodes,
                        indices_are_sorted=indices_are_sorted)
 

@@ -68,8 +68,7 @@ def _take_rows(a, idx, sorted_idx=False):
     optional sorted-indices hint.  ``jnp.take``'s default mode wraps the
     gather in negative-index selects and a NaN-fill guard; plain ``a[idx]``
     loses the sorted hint."""
-    return a.at[idx].get(mode="promise_in_bounds",
-                         indices_are_sorted=sorted_idx)
+    return a.at[idx].get(mode="clip", indices_are_sorted=sorted_idx)
 
 
 @jax.custom_vjp
@@ -162,7 +161,7 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     elif sorted_bwd and _SORTED_SRC:
         ssrc_e = _gather_senders(aux, score_src)
     else:
-        ssrc_e = score_src[aux.senders]
+        ssrc_e = _take_rows(score_src, aux.senders)
     sdst_e = _take_rows(score_dst, aux.receivers, sorted_idx=True)
     es = leaky(ssrc_e + sdst_e)
     es = jnp.where(sm, es, _NEG)
