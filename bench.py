@@ -198,10 +198,15 @@ def main():
         state, losses = run_steps(state, key)
         _ = float(losses[-1])
         print("compiled; timing...", file=sys.stderr)
+        trace_dir = os.environ.get("FITGNN_BENCH_TRACE", "")
+        if trace_dir:
+            jax.profiler.start_trace(trace_dir)
         t0 = time.perf_counter()
         state, losses = run_steps(state, jax.random.fold_in(key, 1))
         _ = float(losses[-1])  # scalar fetch drains the dispatch queue
         elapsed = time.perf_counter() - t0
+        if trace_dir:
+            jax.profiler.stop_trace()
     else:
         # warm-up / compile
         state, loss = gc_train_step(state, g, yv, mv, key, "classification")

@@ -44,8 +44,12 @@ _SEGMM_MAX_F = int(os.environ.get("FITGNN_GAT_SEGMM_MAXF", "64"))
 # Fused tile-attention kernels (ops/pallas/att_bsr.py): recompute tile
 # scores in-kernel from the per-node score vectors instead of
 # materializing the (K,b,b) e/pe tensors (~143 MB each at bench scale)
-# in HBM between XLA and the dynamic-BSR kernel.
-_FUSED_TILES = os.environ.get("FITGNN_GAT_FUSED_TILES", "1") == "1"
+# in HBM between XLA and the dynamic-BSR kernel.  Measured SLOWER on the
+# bench graph (67.7 ms vs 62.0 two-stage): at ~1.7 tiles per block-row
+# the tile walk is per-grid-step-overhead-bound, and the fused design
+# pays 4 walks (rowmax/fwd/bwd_t/bwd_f) where the two-stage path pays 2
+# plus XLA streams that run at full rate.  Kept as an opt-in.
+_FUSED_TILES = os.environ.get("FITGNN_GAT_FUSED_TILES", "0") == "1"
 
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
