@@ -50,6 +50,14 @@ _SEGMM_MAX_F = int(os.environ.get("FITGNN_GAT_SEGMM_MAXF", "64"))
 # pays 4 walks (rowmax/fwd/bwd_t/bwd_f) where the two-stage path pays 2
 # plus XLA streams that run at full rate.  Kept as an opt-in.
 _FUSED_TILES = os.environ.get("FITGNN_GAT_FUSED_TILES", "0") == "1"
+# Global-bound softmax stabilizer: m̂[r] = max(0, sdst[r] + max(ssrc))
+# instead of the exact per-receiver segment_max.  Softmax is
+# shift-invariant, so any per-row UPPER bound stabilizes it exactly; the
+# bound removes the serial-scatter segment_max, the (E,) gather of m, and
+# the tile rowmax pass (device trace: together ~8 ms/step of the GAT
+# bench).  Trade-off: edges whose score sits >87 nats below the row bound
+# underflow to weight 0 (softmax would give them ~e-38 anyway).
+_GLOBAL_MAX = os.environ.get("FITGNN_GAT_GLOBAL_MAX", "1") == "1"
 
 _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 
@@ -169,43 +177,60 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     sdst_e = _take_rows(score_dst, aux.receivers, sorted_idx=True)
     es = leaky(ssrc_e + sdst_e)
     es = jnp.where(sm, es, _NEG)
-    m = jax.ops.segment_max(es, aux.receivers, num_segments=n,
-                            indices_are_sorted=True)
 
     fused = (bsr is not None and getattr(aux, "dyn_plan", None) is not None
              and f <= 512 and _FUSED_TILES)
-    if fused:
-        from fitgnn_tpu.ops.pallas.att_bsr import (att_rowmax, att_tiles,
-                                                   _use_interpret)
-        # the softmax max is a constant (stop_gradient, like segment_softmax):
-        # stop the score tangents HERE so AD never traces the rowmax kernel
-        m_tiles = att_rowmax(bsr.rows, bsr.cols, bsr.blocks,
-                             jax.lax.stop_gradient(
-                                 score_src.astype(jnp.float32)),
-                             jax.lax.stop_gradient(
-                                 score_dst.astype(jnp.float32)), bsr.block,
-                             float(negative_slope),
-                             interpret=_use_interpret())
-        m = jnp.maximum(m, m_tiles)
-    elif bsr is not None:
-        b = bsr.block
-        nb = n // b
-        rows, cols = bsr.rows, bsr.cols
-        mask = bsr.blocks > 0                       # (K,b,b) static adjacency
-        ssrc = score_src.reshape(nb, b)[cols]       # (K,b) sender scores
-        sdst = score_dst.reshape(nb, b)[rows]       # (K,b) receiver scores
-        e = leaky(sdst[:, :, None] + ssrc[:, None, :])
-        e = jnp.where(mask, e, _NEG)
-        tile_rowmax = jnp.max(e, axis=2)            # (K,b)
-        m_tiles = jax.ops.segment_max(tile_rowmax, rows, num_segments=nb,
-                                      indices_are_sorted=True)
-        m = jnp.maximum(m, m_tiles.reshape(n))
-
-    m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
+    if _GLOBAL_MAX:
+        # Softmax is shift-invariant per receiver, so ANY per-row upper
+        # bound works as the stabilizer — it need not be the exact max.
+        # e[r,s] = LeakyReLU(sdst[r] + ssrc[s]) ≤ max(0, sdst[r] + max ssrc),
+        # so m̂[r] = max(0, sdst[r] + max_all(ssrc)) bounds every row with
+        # ONE global reduction: no per-edge segment_max (~2 ms serial
+        # scatter at bench scale), no (E,) gather of m (the bound comes
+        # straight from the already-gathered sdst_e), and no tile rowmax
+        # pass (which materialized the (K,b,b) score tensor in XLA).
+        # Edges whose true score sits far below the row bound underflow
+        # exp() to 0 — exactly the weights softmax would send to ~0 anyway.
+        maxs = jax.lax.stop_gradient(jnp.max(score_src.astype(jnp.float32)))
+        m = jax.lax.stop_gradient(
+            jnp.maximum(score_dst.astype(jnp.float32) + maxs, 0.0))
+        m_e = jax.lax.stop_gradient(jnp.maximum(sdst_e + maxs, 0.0))
+    else:
+        m = jax.ops.segment_max(es, aux.receivers, num_segments=n,
+                                indices_are_sorted=True)
+        if fused:
+            from fitgnn_tpu.ops.pallas.att_bsr import att_rowmax
+            from fitgnn_tpu.ops.pallas.att_bsr import _use_interpret as _ai
+            # the softmax max is a constant (stop_gradient, like
+            # segment_softmax): stop the score tangents HERE so AD never
+            # traces the rowmax kernel
+            m_tiles = att_rowmax(bsr.rows, bsr.cols, bsr.blocks,
+                                 jax.lax.stop_gradient(
+                                     score_src.astype(jnp.float32)),
+                                 jax.lax.stop_gradient(
+                                     score_dst.astype(jnp.float32)),
+                                 bsr.block, float(negative_slope),
+                                 interpret=_ai())
+            m = jnp.maximum(m, m_tiles)
+        elif bsr is not None:
+            b = bsr.block
+            nb = n // b
+            rows, cols = bsr.rows, bsr.cols
+            mask = bsr.blocks > 0                   # (K,b,b) static adjacency
+            ssrc = score_src.reshape(nb, b)[cols]   # (K,b) sender scores
+            sdst = score_dst.reshape(nb, b)[rows]   # (K,b) receiver scores
+            e = leaky(sdst[:, :, None] + ssrc[:, None, :])
+            e = jnp.where(mask, e, _NEG)
+            tile_rowmax = jnp.max(e, axis=2)        # (K,b)
+            m_tiles = jax.ops.segment_max(tile_rowmax, rows,
+                                          num_segments=nb,
+                                          indices_are_sorted=True)
+            m = jnp.maximum(m, m_tiles.reshape(n))
+        m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
+        m_e = _take_rows(m, aux.receivers, sorted_idx=True)
 
     # ---- straggler numerator/denominator --------------------------------
-    pes = jnp.exp(es - _take_rows(m, aux.receivers,
-                                  sorted_idx=True)) * sm
+    pes = jnp.exp(es - m_e) * sm
     if use_segmm:
         # MXU selector-scatter with the softmax numerators as dynamic
         # per-edge selector weights (same bf16 rounding of α as the
@@ -229,6 +254,7 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
 
     # ---- tile numerator/denominator --------------------------------------
     if fused:
+        from fitgnn_tpu.ops.pallas.att_bsr import att_tiles
         num_t, den_t = att_tiles(bsr.block, float(negative_slope),
                                  bsr.rows, bsr.cols, aux.dyn_plan,
                                  bsr.blocks, score_src.astype(jnp.float32),
@@ -236,6 +262,13 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         num = num + num_t.astype(num.dtype)
         den = den + den_t
     elif bsr is not None:
+        b = bsr.block
+        nb = n // b
+        rows, cols = bsr.rows, bsr.cols
+        mask = bsr.blocks > 0                       # (K,b,b) static adjacency
+        ssrc = score_src.reshape(nb, b)[cols]       # (K,b) sender scores
+        sdst = score_dst.reshape(nb, b)[rows]       # (K,b) receiver scores
+        e = leaky(sdst[:, :, None] + ssrc[:, None, :])
         mrow = m.reshape(nb, b)[rows]               # (K,b)
         pe = jnp.exp(e - mrow[:, :, None])
         pe = jnp.where(mask, pe, 0.0)
