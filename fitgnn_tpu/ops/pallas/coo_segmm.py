@@ -22,6 +22,7 @@ This is the "fuse stragglers via scalar-prefetched edge lists" path
 from __future__ import annotations
 
 import functools
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 import flax.struct
 
 BLOCK = 128
-CHUNK = 128
+# edges per selector chunk: each receiver-block's edge list pads to a
+# multiple of this.  128 ⇒ ~31 % padding on the bench straggler list
+# (E_pad 335k vs E 233k); 64 halves the padding at 2× the grid steps.
+CHUNK = int(os.environ.get("FITGNN_SEGMM_CHUNK", "128"))
 
 
 @flax.struct.dataclass
