@@ -29,7 +29,13 @@ REF_EDGES_PER_SEC = 5.0e7
 # tile threshold 48, bf16 conv stack + tiles, rbg dropout PRNG, MXU
 # selector-matmul straggler scatter.  Env knobs ablate each.
 BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "bfloat16")
-BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD", "48"))
+BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
+# per-layer tuned tile threshold: GAT pays per-edge softmax scalars on the
+# straggler path, so absorbing more edges into MXU tiles wins (measured
+# t16 53.8 ms vs t48 55.3 ms); GCN/SAGE/GIN break even at 48
+_DEFAULT_THRESHOLD = "16" if BENCH_LAYER == "GATConv" else "48"
+BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD",
+                                          _DEFAULT_THRESHOLD))
 BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
 BENCH_PRNG = os.environ.get("FITGNN_BENCH_PRNG", "rbg")
 BENCH_SEGMM = os.environ.get("FITGNN_BENCH_SEGMM", "1") == "1"
@@ -48,10 +54,9 @@ BENCH_ROWWALK = os.environ.get("FITGNN_BENCH_ROWWALK", "0") == "1"
 # segment-sum): no Pallas per-grid-step overhead, so pair it with a LOW
 # tile threshold (break-even ~4 edges/tile at F<=128)
 BENCH_EINSUM_TILES = os.environ.get("FITGNN_BENCH_EINSUM", "0") == "1"
-# GCNConv (default, hybrid BCSR operator + layer-0 preagg) or GATConv /
-# SAGEConv / GINConv (segment-op paths; no preagg — diagnostic rows for
-# PERFORMANCE.md, the headline metric stays GCN)
-BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
+# BENCH_LAYER (set above): GCNConv (default, hybrid BCSR operator +
+# layer-0 preagg) or GATConv / SAGEConv / GINConv (segment-op paths —
+# diagnostic rows for PERFORMANCE.md, the headline metric stays GCN)
 # 1 (default) = time the STEPS steps as ONE jitted lax.scan program (the
 # production fused-epochs path, train/steps.py:gc_train_epochs_scan,
 # CLI --fused_epochs) instead of STEPS chained dispatches — the way
