@@ -76,6 +76,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  min_block_edges: int = 150,
                  block: int = BLOCK, tile_dtype=None,
                  use_segmm: bool = False,
+                 segmm_group: int = None,
                  use_diag: bool = False,
                  use_rowwalk: bool = False,
                  tile_group: int = 1,
@@ -142,11 +143,12 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     if use_segmm:
         from fitgnn_tpu.ops.pallas.coo_segmm import build_segmm
         segmm = build_segmm(cs[order_f], cr[order_f], cw[order_f],
-                            num_nodes_padded)
+                            num_nodes_padded, group=segmm_group)
         # the transpose structure's edge_ids point back into FORWARD edge
         # order, so dynamic per-edge weights (GAT α) need no re-sort
         t_segmm = build_segmm(cr[order_t], cs[order_t], cw[order_t],
-                              num_nodes_padded, edge_perm=t_edge_perm)
+                              num_nodes_padded, group=segmm_group,
+                              edge_perm=t_edge_perm)
     dyn_plan = None
     if (semantics == "att_unit" and bsr is not None
             and not bsr.rowwalk and not bsr.einsum):

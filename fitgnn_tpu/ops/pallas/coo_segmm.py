@@ -6,13 +6,13 @@ row-gather plus a sorted segment-sum.  XLA's scatter loop read-modify-writes
 the output row per edge; this kernel replaces that with dense MXU work:
 
 * edges (receiver-sorted) are chunked, each chunk padded to ``CHUNK`` edges
-  and assigned to ONE 128-row output block;
+  and assigned to ONE output block-group of ``GROUP`` 128-row blocks;
 * the gather ``y = x[senders]`` stays an XLA op (it is row-rate-bound either
   way) and streams into the kernel as (CHUNK, F) blocks;
-* in-kernel, a (128, CHUNK) selector holding ``w[e]`` at
+* in-kernel, a (128·GROUP, CHUNK) selector holding ``w[e]`` at
   ``(r_local[e], e)`` is built from an iota compare and multiplied on the
-  MXU; consecutive chunks of one output block accumulate in a VMEM-resident
-  out tile (same revisit pattern as the BCSR kernel, with the chunk→block
+  MXU; consecutive chunks of one block-group accumulate in a VMEM-resident
+  out tile (same revisit pattern as the BCSR kernel, with the chunk→group
   map scalar-prefetched).
 
 This is the "fuse stragglers via scalar-prefetched edge lists" path
@@ -31,18 +31,25 @@ from jax.experimental.pallas import tpu as pltpu
 import flax.struct
 
 BLOCK = 128
-# edges per selector chunk: each receiver-block's edge list pads to a
-# multiple of this.  128 ⇒ ~31 % padding on the bench straggler list
-# (E_pad 335k vs E 233k); 64 halves the padding at 2× the grid steps.
+# edges per selector chunk: each receiver-block-group's edge list pads to a
+# multiple of this.  128 ⇒ ~31 % padding on the bench straggler list at
+# group=1 (E_pad 335k vs E 233k); 64 halves the padding at 2× the grid
+# steps (measured SLOWER end-to-end).
 CHUNK = int(os.environ.get("FITGNN_SEGMM_CHUNK", "128"))
+# output 128-row blocks spanned by one selector: the selector becomes
+# (128·group, CHUNK) and each GROUP of blocks pads its edge list once, so
+# the expected padding drops from ~CHUNK/2 per block to ~CHUNK/2 per group
+# (31 % → ~5 % at group=8 on the bench list).  The extra MXU flops are
+# negligible (the kernel is stream/step-bound, not MXU-bound).
+GROUP = int(os.environ.get("FITGNN_SEGMM_GROUP", "1"))
 
 
 @flax.struct.dataclass
 class SegMM:
     """Chunked straggler-edge structure (receiver-sorted, block-aligned)."""
 
-    block_ids: jnp.ndarray     # (num_chunks,) int32 out-block per chunk,
-                               #   sorted ascending (scalar-prefetched)
+    block_ids: jnp.ndarray     # (num_chunks,) int32 out block-GROUP per
+                               #   chunk, sorted ascending (scalar-prefetched)
     senders: jnp.ndarray       # (E_pad,) int32 — drives the XLA gather
     aux: jnp.ndarray           # (num_chunks, 8, CHUNK) f32 — row 0 holds
                                #   receiver % BLOCK, row 1 the edge weight
@@ -54,6 +61,7 @@ class SegMM:
                                #   but carry weight 0) — lets callers remap
                                #   per-edge data (e.g. GAT α) into slot
                                #   order for ``segmm_scatter_rows``
+    group: int = flax.struct.field(pytree_node=False, default=1)
 
     @property
     def num_chunks(self) -> int:
@@ -66,7 +74,7 @@ class SegMM:
 
 def build_segmm(senders: np.ndarray, receivers: np.ndarray,
                 weight: np.ndarray, num_nodes_padded: int,
-                chunk: int = CHUNK,
+                chunk: int = CHUNK, group: int = None,
                 edge_perm: np.ndarray | None = None) -> SegMM:
     """Host-side build from a RECEIVER-SORTED COO edge list.
 
@@ -77,6 +85,9 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
     IS the canonical order); a transpose structure passes the mapping
     back to the forward list."""
     assert num_nodes_padded % BLOCK == 0
+    if group is None:
+        group = GROUP
+    rows_per = BLOCK * group
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
@@ -84,32 +95,30 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
     if edge_perm is None:
         edge_perm = np.arange(len(senders), dtype=np.int64)
 
-    rb = receivers // BLOCK
-    blocks, counts = np.unique(rb, return_counts=True)
+    gb = receivers // rows_per
+    blocks, counts = np.unique(gb, return_counts=True)
     bounds = np.concatenate([[0], np.cumsum(counts)])
 
-    # every output block needs ≥1 chunk: a grid that never visits a block
-    # leaves its out tile UNINITIALIZED (the out buffer is not zeroed)
-    covered = set(int(b) for b in blocks)
-    all_blocks = num_nodes_padded // BLOCK
+    # every output block-group needs ≥1 chunk: a grid that never visits a
+    # group leaves its out tile UNINITIALIZED (the out buffer is not zeroed)
+    covered = {int(b): i for i, b in enumerate(blocks)}
+    all_groups = -(-num_nodes_padded // rows_per)
 
     s_chunks, r_chunks, w_chunks, e_chunks, bids = [], [], [], [], []
-    bi = 0
-    for b in range(all_blocks):
+    for b in range(all_groups):
         if b in covered:
-            lo, hi = bounds[bi], bounds[bi + 1]
-            bi += 1
+            lo, hi = bounds[covered[b]], bounds[covered[b] + 1]
             e = hi - lo
             n_ch = -(-e // chunk)
             pad = n_ch * chunk - e
             s = np.concatenate([senders[lo:hi],
                                 np.full(pad, senders[hi - 1])])  # dup row
-            r = np.concatenate([receivers[lo:hi] % BLOCK,
+            r = np.concatenate([receivers[lo:hi] % rows_per,
                                 np.zeros(pad, np.int64)])
             w = np.concatenate([weight[lo:hi], np.zeros(pad, np.float32)])
             ei = np.concatenate([edge_perm[lo:hi],
                                  np.full(pad, edge_perm[hi - 1])])
-        else:   # zero-weight filler chunk: writes the block's zeros
+        else:   # zero-weight filler chunk: writes the group's zeros
             s = np.zeros(chunk, np.int64)
             r = np.zeros(chunk, np.int64)
             w = np.zeros(chunk, np.float32)
@@ -131,7 +140,8 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
         senders=jnp.asarray(s_all, dtype=jnp.int32),
         aux=jnp.asarray(aux),
         num_nodes=num_nodes_padded,
-        edge_ids=jnp.asarray(np.concatenate(e_chunks), dtype=jnp.int32))
+        edge_ids=jnp.asarray(np.concatenate(e_chunks), dtype=jnp.int32),
+        group=group)
 
 
 def _kernel(block_ids_ref, aux_ref, y_ref, o_ref):
@@ -145,7 +155,8 @@ def _kernel(block_ids_ref, aux_ref, y_ref, o_ref):
 
     rloc = aux_ref[0, 0].astype(jnp.int32)     # (CHUNK,)
     w = aux_ref[0, 1]                          # (CHUNK,)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rloc.shape[0]), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (o_ref.shape[0], rloc.shape[0]), 0)
     sel = jnp.where(rows == rloc[None, :], w[None, :], 0.0)
     y = y_ref[:]                               # (CHUNK, F)
     if y.dtype == jnp.bfloat16:
@@ -154,12 +165,17 @@ def _kernel(block_ids_ref, aux_ref, y_ref, o_ref):
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _segmm_scatter(block_ids, aux, y, num_nodes, interpret=False):
-    """out = scatter-add of (chunked) y rows into their out blocks."""
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "group", "interpret"))
+def _segmm_scatter(block_ids, aux, y, num_nodes, group=1, interpret=False):
+    """out = scatter-add of (chunked) y rows into their out block-groups."""
     n_chunks, _, chunk = aux.shape
     feat = y.shape[-1]
-    return pl.pallas_call(
+    rows_per = BLOCK * group
+    # the grid writes whole (rows_per, feat) tiles: round the out buffer up
+    # and slice after (XLA fuses the slice into the consumer)
+    n_out = -(-num_nodes // rows_per) * rows_per
+    out = pl.pallas_call(
         _kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -168,12 +184,13 @@ def _segmm_scatter(block_ids, aux, y, num_nodes, interpret=False):
                 pl.BlockSpec((1, 8, chunk), lambda k, bids: (k, 0, 0)),
                 pl.BlockSpec((chunk, feat), lambda k, bids: (k, 0)),
             ],
-            out_specs=pl.BlockSpec((BLOCK, feat),
+            out_specs=pl.BlockSpec((rows_per, feat),
                                    lambda k, bids: (bids[k], 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_nodes, feat), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, feat), y.dtype),
         interpret=interpret,
     )(block_ids, aux, y)
+    return out if n_out == num_nodes else out[:num_nodes]
 
 
 def _use_interpret() -> bool:
@@ -185,7 +202,7 @@ def segmm_spmm(m: SegMM, x: jnp.ndarray) -> jnp.ndarray:
     from fitgnn_tpu.ops.segment import take_rows
     y = take_rows(x, m.senders)  # (E_pad, F) stream; BlockSpec per chunk
     return _segmm_scatter(m.block_ids, m.aux, y, m.num_nodes,
-                          interpret=_use_interpret())
+                          group=m.group, interpret=_use_interpret())
 
 
 def _dyn_aux(m: SegMM, w_edge: jnp.ndarray) -> jnp.ndarray:
@@ -214,7 +231,7 @@ def segmm_weighted_spmm(m: SegMM, mt: SegMM, senders: jnp.ndarray,
     from fitgnn_tpu.ops.segment import take_rows
     y = take_rows(x, m.senders)
     return _segmm_scatter(m.block_ids, _dyn_aux(m, w_edge), y, m.num_nodes,
-                          interpret=_use_interpret())
+                          group=m.group, interpret=_use_interpret())
 
 
 def _segmm_weighted_fwd(m, mt, senders, receivers, w_edge, x):
@@ -227,7 +244,8 @@ def _segmm_weighted_bwd(res, g):
     from fitgnn_tpu.ops.segment import take_rows
     yt = take_rows(g, mt.senders)
     dx = _segmm_scatter(mt.block_ids, _dyn_aux(mt, w_edge), yt,
-                        mt.num_nodes, interpret=_use_interpret())
+                        mt.num_nodes, group=mt.group,
+                        interpret=_use_interpret())
     dw = jnp.sum(take_rows(g, receivers, sorted_idx=True
                            ).astype(jnp.float32)
                  * take_rows(x, senders).astype(jnp.float32), axis=-1

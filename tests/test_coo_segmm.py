@@ -30,6 +30,62 @@ class TestSegMM:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_grouped_blocks_match(self):
+        """group>1 selectors (128·g output rows per chunk) are exact, incl.
+        a node count NOT divisible by 128·g (rounded out buffer + slice)."""
+        rng = np.random.default_rng(4)
+        n, e, f = 640, 1500, 32          # 5 blocks: g=2 → 2.5 groups
+        s, r, w = _edges(rng, n, e)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        ref = spmm_coo(jnp.asarray(w), jnp.asarray(s, dtype=jnp.int32),
+                       jnp.asarray(r, dtype=jnp.int32), x, n)
+        for g in (2, 4, 8):
+            m = build_segmm(s, r, w, n, group=g)
+            assert m.group == g
+            out = segmm_spmm(m, x)
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+            # grouped padding never exceeds the per-block padding
+            assert (m.num_edges_padded
+                    <= build_segmm(s, r, w, n, group=1).num_edges_padded)
+
+    def test_grouped_weighted_grads(self):
+        """Dynamic-weight (GAT α) path with grouped structures."""
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
+        rng = np.random.default_rng(9)
+        n, e, f = 384, 800, 16           # 3 blocks: g=2 rounds up
+        s = rng.integers(0, n, e, dtype=np.int64)
+        r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+        unit = np.ones(e, np.float32)
+        hyb = build_hybrid(s, r, unit, n, min_block_edges=10 ** 9,
+                           use_segmm=True, semantics="att_unit",
+                           segmm_group=2)
+        assert hyb.segmm.group == 2 and hyb.t_segmm.group == 2
+        w_dyn = jnp.asarray(rng.random(len(hyb.senders)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+        def loss_k(w, xx):
+            out = segmm_weighted_spmm(hyb.segmm, hyb.t_segmm, hyb.senders,
+                                      hyb.receivers, w, xx)
+            return jnp.sum(out ** 2)
+
+        def loss_ref(w, xx):
+            out = jax.ops.segment_sum(xx[hyb.senders] * w[:, None],
+                                      hyb.receivers, num_segments=n,
+                                      indices_are_sorted=True)
+            return jnp.sum(out ** 2)
+
+        np.testing.assert_allclose(np.asarray(loss_k(w_dyn, x)),
+                                   np.asarray(loss_ref(w_dyn, x)),
+                                   rtol=1e-4)
+        dw_k, dx_k = jax.grad(loss_k, argnums=(0, 1))(w_dyn, x)
+        dw_r, dx_r = jax.grad(loss_ref, argnums=(0, 1))(w_dyn, x)
+        np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_empty_edges(self):
         m = build_segmm(np.empty(0, np.int64), np.empty(0, np.int64),
                         np.empty(0, np.float32), 256)
