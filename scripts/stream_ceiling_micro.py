@@ -58,6 +58,14 @@ def main():
         nbytes = 2 * N * F * x.dtype.itemsize          # read + write
         per = timed(lambda v: v * 1.0000001, x)
         print(f"XLA copy {name}: {per*1e3:.2f} ms  {nbytes/per/1e9:.0f} GB/s")
+        # two-operand add: the shape of the hot elementwise fusions in the
+        # training step (device traces show add fusions moving 3 arrays at
+        # ~675 GB/s, far above what the 1-operand loop above reports — the
+        # dependent-chain loop serializes on one buffer)
+        y = jnp.asarray(rng.standard_normal((N, F)), dtype=dtype)
+        per = timed(lambda v: (v + y) * 0.9999999, x)
+        print(f"XLA add2 {name}: {per*1e3:.2f} ms  "
+              f"{3*N*F*x.dtype.itemsize/per/1e9:.0f} GB/s (3-array)")
         for rpb in (256, 512, 1024):   # 4096 f32 blocks blow the 16 MB
                                        # scoped-VMEM limit (2 buffers ×
                                        # double-buffering × 8 MB)
