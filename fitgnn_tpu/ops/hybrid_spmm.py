@@ -165,12 +165,27 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                       diag_blocks=diag_blocks)
 
 
-@jax.custom_vjp
-def _coo_part(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+def _coo_apply(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    """Forward straggler aggregation (no VJP wrapper)."""
     if h.segmm is not None:
         from fitgnn_tpu.ops.pallas.coo_segmm import segmm_spmm
         return segmm_spmm(h.segmm, x)
     return spmm_coo(h.weights, h.senders, h.receivers, x, h.num_nodes)
+
+
+def _coo_apply_t(h: HybridSpmm, g: jnp.ndarray) -> jnp.ndarray:
+    """Transpose straggler aggregation through the pre-sorted transpose
+    edge list: both the gather and the scatter stay sorted (autodiff would
+    emit an unsorted scatter)."""
+    if h.t_segmm is not None:
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_spmm
+        return segmm_spmm(h.t_segmm, g)
+    return spmm_coo(h.t_weights, h.t_senders, h.t_receivers, g, h.num_nodes)
+
+
+@jax.custom_vjp
+def _coo_part(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    return _coo_apply(h, x)
 
 
 def _coo_part_fwd(h, x):
@@ -178,22 +193,41 @@ def _coo_part_fwd(h, x):
 
 
 def _coo_part_bwd(h, g):
-    # dx = Aᵀ·g through the pre-sorted transpose edge list: both the gather
-    # and the scatter stay sorted (autodiff would emit an unsorted scatter)
-    if h.t_segmm is not None:
-        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_spmm
-        return None, segmm_spmm(h.t_segmm, g)
-    dx = spmm_coo(h.t_weights, h.t_senders, h.t_receivers, g, h.num_nodes)
-    return None, dx
+    return None, _coo_apply_t(h, g)
 
 
 _coo_part.defvjp(_coo_part_fwd, _coo_part_bwd)
 
 
+@jax.custom_vjp
+def _fused_core(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    """stragglers + tiles with the add fused INTO the BSR kernel (the tile
+    kernel accumulates on top of the straggler output — saves two full
+    (N, F) HBM passes per direction vs materializing both and adding)."""
+    from fitgnn_tpu.ops.pallas.bsr_spmm import bsr_spmm_acc_raw
+    return bsr_spmm_acc_raw(h.bsr, x, _coo_apply(h, x))
+
+
+def _fused_core_fwd(h, x):
+    return _fused_core(h, x), h
+
+
+def _fused_core_bwd(h, g):
+    from fitgnn_tpu.ops.pallas.bsr_spmm import bsr_spmm_acc_raw
+    t = h.bsr.transpose.replace(rowwalk=h.bsr.rowwalk, einsum=h.bsr.einsum)
+    return None, bsr_spmm_acc_raw(t, g, _coo_apply_t(h, g))
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
 def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
-    out = _coo_part(h, x)
-    if h.bsr is not None:
-        out = out + bsr_spmm(h.bsr, x)
+    if h.bsr is not None and h.bsr.transpose is not None:
+        out = _fused_core(h, x)
+    else:
+        out = _coo_part(h, x)
+        if h.bsr is not None:
+            out = out + bsr_spmm(h.bsr, x)
     if h.diag_blocks is not None:
         nb, b, _ = h.diag_blocks.shape
         xb = x.reshape(nb, b, x.shape[-1])

@@ -192,6 +192,70 @@ def _bsr_spmm_fwd(blocks, rows, cols, x, block=BLOCK, interpret=False):
     )(rows, cols, blocks, x)
 
 
+def _kernel_acc(rows_ref, cols_ref, a_ref, x_ref, init_ref, o_ref):
+    """Grid-walk kernel that ACCUMULATES ON TOP of ``init`` instead of
+    zeros: on the first visit of an out block the kernel copies the
+    matching init block in (Mosaic fetches it once per block — the index
+    map changes exactly when the out block does).  Fusing the hybrid
+    operator's tile+straggler add this way saves two full (N, F) HBM
+    passes per SpMM (the separate tile-path output write + its re-read
+    by the add fusion)."""
+    k = pl.program_id(1)
+    row = rows_ref[k]
+    prev_row = rows_ref[jnp.maximum(k - 1, 0)]
+    is_first = jnp.logical_or(k == 0, row != prev_row)
+
+    @pl.when(is_first)
+    def _():
+        o_ref[:] = init_ref[:].astype(o_ref.dtype)
+
+    a = a_ref[0]
+    xb = x_ref[:]
+    if a.dtype == jnp.bfloat16:
+        xb = xb.astype(jnp.bfloat16)
+    o_ref[:] += jnp.dot(a, xb,
+                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _bsr_spmm_fwd_acc(blocks, rows, cols, x, init, block=BLOCK,
+                      interpret=False):
+    n_pad, feat = x.shape
+    k = blocks.shape[0]
+    ft = min(feat, 512)
+    assert feat % ft == 0, f"feature dim {feat} must divide into tiles of {ft}"
+    grid = (feat // ft, k)
+    return pl.pallas_call(
+        _kernel_acc,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block, block),
+                             lambda j, k, rows, cols: (k, 0, 0)),
+                pl.BlockSpec((block, ft),
+                             lambda j, k, rows, cols: (cols[k], j)),
+                pl.BlockSpec((block, ft),
+                             lambda j, k, rows, cols: (rows[k], j)),
+            ],
+            out_specs=pl.BlockSpec((block, ft),
+                                   lambda j, k, rows, cols: (rows[k], j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feat), x.dtype),
+        interpret=interpret,
+    )(rows, cols, blocks, x, init)
+
+
+def bsr_spmm_acc_raw(b: "BsrMatrix", x: jnp.ndarray,
+                     init: jnp.ndarray) -> jnp.ndarray:
+    """init + A·x, fused for the plain grid-walk kernel (NO custom VJP —
+    callers embed this inside their own)."""
+    if b.rowwalk or b.einsum or b.group > 1 or init.shape != x.shape:
+        return init + _fwd_dispatch(b, x)
+    return _bsr_spmm_fwd_acc(b.blocks, b.rows, b.cols, x, init,
+                             block=b.block, interpret=_use_interpret())
+
+
 def _make_grouped_kernel(t: int):
     """Kernel processing ``t`` same-row tiles per grid step: one (t·tile)
     A-block load + ``t`` X-block loads per step, amortizing the per-step
