@@ -41,7 +41,26 @@ CHUNK = int(os.environ.get("FITGNN_SEGMM_CHUNK", "128"))
 # the expected padding drops from ~CHUNK/2 per block to ~CHUNK/2 per group
 # (31 % → ~5 % at group=8 on the bench list).  The extra MXU flops are
 # negligible (the kernel is stream/step-bound, not MXU-bound).
-GROUP = int(os.environ.get("FITGNN_SEGMM_GROUP", "1"))
+# "auto" (default) picks the largest group that tiles the node blocks
+# exactly; a non-divisor group pays a full (N, F) slice pass for the
+# rounded-up out buffer (bench A/B: g4 exact 19.4 ms < g8 slice 20.0 <
+# g1 21.0 — prefer exact fit, but slicing still beats no grouping).
+GROUP = os.environ.get("FITGNN_SEGMM_GROUP", "auto")
+
+
+def _auto_group(num_blocks: int) -> int:
+    for g in (8, 4, 2):
+        if num_blocks % g == 0:
+            return g
+    return min(4, max(num_blocks, 1))   # slice fallback
+
+
+def _resolve_group(group, num_blocks: int) -> int:
+    if group is None:
+        group = GROUP
+    if group == "auto":
+        return _auto_group(num_blocks)
+    return int(group)
 
 
 @flax.struct.dataclass
@@ -85,8 +104,7 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
     IS the canonical order); a transpose structure passes the mapping
     back to the forward list."""
     assert num_nodes_padded % BLOCK == 0
-    if group is None:
-        group = GROUP
+    group = _resolve_group(group, num_nodes_padded // BLOCK)
     rows_per = BLOCK * group
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
