@@ -22,15 +22,18 @@ REPS = 16
 N, F = 131072, 512
 
 
-def timed(fn, x):
+def timed(fn, x, *rest):
+    # extra operands are ARGUMENTS, not closure constants — a closed-over
+    # array is baked into the program and blows the tunnel's compile
+    # request limit (HTTP 413) at these sizes
     @jax.jit
-    def loop(x_):
-        return jax.lax.fori_loop(0, REPS, lambda i, v: fn(v), x_)
+    def loop(x_, *r):
+        return jax.lax.fori_loop(0, REPS, lambda i, v: fn(v, *r), x_)
 
-    out = loop(x)
+    out = loop(x, *rest)
     _ = float(out.reshape(-1)[0])
     t0 = time.perf_counter()
-    out = loop(out)
+    out = loop(out, *rest)
     _ = float(out.reshape(-1)[0])
     return (time.perf_counter() - t0) / REPS
 
@@ -63,7 +66,7 @@ def main():
         # ~675 GB/s, far above what the 1-operand loop above reports — the
         # dependent-chain loop serializes on one buffer)
         y = jnp.asarray(rng.standard_normal((N, F)), dtype=dtype)
-        per = timed(lambda v: (v + y) * 0.9999999, x)
+        per = timed(lambda v, yy: (v + yy) * 0.9999999, x, y)
         print(f"XLA add2 {name}: {per*1e3:.2f} ms  "
               f"{3*N*F*x.dtype.itemsize/per/1e9:.0f} GB/s (3-array)")
         for rpb in (256, 512, 1024):   # 4096 f32 blocks blow the 16 MB
