@@ -119,6 +119,60 @@ def _dyn_apply(blocks, rows, sel, scale, cols, x, block, trans=False,
     )(rows, sel, scale, cols, blocks, x)
 
 
+def _dB_kernel(rows_ref, cols_ref, g_ref, x_ref, o_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    gb = g_ref[:]
+    xb = x_ref[:]
+    if o_ref.dtype == jnp.bfloat16:
+        gb = gb.astype(jnp.bfloat16)
+        xb = xb.astype(jnp.bfloat16)
+    # dB[k] += g_blk @ x_blkᵀ: contract on the feature axis (NT matmul —
+    # no materialized transpose)
+    d = jax.lax.dot_general(gb, xb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] += d.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "out_dtype",
+                                              "interpret"))
+def _dyn_grad_blocks(rows, cols, g, x, block, out_dtype=None,
+                     interpret=False):
+    """dB[k] = g[rows[k]] @ x[cols[k]]ᵀ as a Pallas grid over tiles: the
+    g/x BLOCKS stream straight from HBM (Mosaic skips re-fetches while the
+    block index repeats across a same-row tile run) instead of
+    materializing two (K, block, F) slab gathers that the batched einsum
+    then re-reads (~750 MB of intermediate traffic per backward at bench
+    scale — device trace fusion.405/406)."""
+    k = rows.shape[0]
+    feat = x.shape[-1]
+    ft = min(feat, 512)
+    assert feat % ft == 0
+    grid = (k, feat // ft)      # j innermost: accumulate F chunks per tile
+    return pl.pallas_call(
+        _dB_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block, ft),
+                             lambda k, j, rows, cols: (rows[k], j)),
+                pl.BlockSpec((block, ft),
+                             lambda k, j, rows, cols: (cols[k], j)),
+            ],
+            out_specs=pl.BlockSpec((1, block, block),
+                                   lambda k, j, rows, cols: (k, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, block, block),
+                                       out_dtype or g.dtype),
+        interpret=interpret,
+    )(rows, cols, g, x)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -145,15 +199,12 @@ def _bsr_dyn_fwd(rows, cols, plan, blocks_dyn, x):
 def _bsr_dyn_bwd(res, g):
     rows, cols, plan, blocks_dyn, x = res
     _, b, _ = blocks_dyn.shape
-    nb = x.shape[0] // b
     dx = _dyn_apply(blocks_dyn, plan.t_rows, plan.t_sel, plan.t_scale,
                     plan.t_cols, g, b, trans=True,
                     interpret=_use_interpret())
-    # dB[k] = g[rows[k]] @ x[cols[k]]ᵀ — coherent slab gathers + one batched
-    # MXU einsum (accumulates f32 internally, rounds at output dtype)
-    g_slab = g.reshape(nb, b, -1)[rows].astype(blocks_dyn.dtype)
-    x_slab = x.reshape(nb, b, -1)[cols].astype(blocks_dyn.dtype)
-    dblocks = jnp.einsum("kif,kjf->kij", g_slab, x_slab)
+    dblocks = _dyn_grad_blocks(rows, cols, g, x, b,
+                               out_dtype=blocks_dyn.dtype,
+                               interpret=_use_interpret())
     return None, None, None, dblocks, dx
 
 
