@@ -241,16 +241,26 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm
         num = segmm_weighted_spmm(aux.segmm, aux.t_segmm, aux.senders,
                                   aux.receivers, pes, h)
+        den = jax.ops.segment_sum(pes, aux.receivers, num_segments=n,
+                                  indices_are_sorted=True)
     elif sorted_bwd and _SORTED_NUM:
         num = _weighted_spmm_sorted(aux, pes, h)
+        den = jax.ops.segment_sum(pes, aux.receivers, num_segments=n,
+                                  indices_are_sorted=True)
     else:
         if y is None:
             y = h[aux.senders]
-        num = jax.ops.segment_sum(
-            y * pes[:, None].astype(h.dtype), aux.receivers,
-            num_segments=n, indices_are_sorted=True)
-    den = jax.ops.segment_sum(pes, aux.receivers, num_segments=n,
-                              indices_are_sorted=True)
+        # denominator rides the numerator scatter as an extra column:
+        # the (E, F) row scatter is ROW-RATE-bound (~29 ns/row at F=512,
+        # device trace), so one more lane block is nearly free, while a
+        # standalone (E,)→(N,) scalar segment-sum costs ~1.9 ms serial
+        # (~8.8 ns/edge).  rows = [pes·y | pes] ⇒ out = [num | den].
+        pcol = pes[:, None].astype(h.dtype)
+        aug = jnp.concatenate([y * pcol, pcol], axis=1)
+        num_aug = jax.ops.segment_sum(aug, aux.receivers, num_segments=n,
+                                      indices_are_sorted=True)
+        num = num_aug[:, :f]
+        den = num_aug[:, f].astype(jnp.float32)
 
     # ---- tile numerator/denominator --------------------------------------
     if fused:
