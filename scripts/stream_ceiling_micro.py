@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-REPS = 16
+# REPS must swamp the ~40 ms fixed one-dispatch tunnel latency: at 16 reps
+# that latency alone reads as ~2.5 ms/op ("213 GB/s ceiling" — wrong); a
+# 0.8 ms copy needs hundreds of reps for <5 % bias.
+REPS = int(__import__("os").environ.get("CEIL_REPS", "256"))
 N, F = 131072, 512
 
 
