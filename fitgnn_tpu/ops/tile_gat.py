@@ -138,6 +138,94 @@ _weighted_spmm_sorted.defvjp(_weighted_spmm_sorted_fwd,
                              _weighted_spmm_sorted_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused-backward straggler attention (the production per-edge softmax path).
+#
+# Device traces show the straggler block's cost is dominated by per-edge
+# SCALAR plumbing: the denominator segment-sum, the backward score
+# segment-sum, and their (N,)→(E,) gathers each run at serial per-edge
+# rates (~8 ns/edge) while the (E, F) row streams they sit between are
+# row-rate-bound and insensitive to width.  This block removes ALL of the
+# scalar segment ops:
+#
+# * forward: ONE augmented row scatter  Σ_e pes·[y | 1 | lp·y | lp]
+#   → [num | den | num' | den'] where lp = LeakyReLU'(pre).  den rides as
+#   an extra column; num'/den' are residuals for the closed-form backward.
+# * backward: dL/dsdst[r] = Σ_e pes·lp·(⟨y_e, dnum[r]⟩ + dden[r])
+#   = ⟨num'[r], dnum[r]⟩ + den'[r]·dden[r]  — NODE-LOCAL, no scatter;
+#   dh rides one row gather (dnum_aug per edge) + the sorted transpose
+#   row scatter; da_src is one multiply-reduce over the saved y stream.
+#
+# Requires the global-bound stabilizer (m̂ is a stop-gradient constant) and
+# sender scores derived from the gathered rows (ssrc = y·a_src).
+# ---------------------------------------------------------------------------
+_FUSED_BWD = os.environ.get("FITGNN_GAT_FUSED_BWD", "1") == "1"
+
+
+def _strag_core(aux, sm, h, score_dst, a_src, maxs, slope):
+    f = h.shape[-1]
+    y = _take_rows(h, aux.senders)                         # (E, F)
+    ssrc = jnp.einsum("ef,f->e", y.astype(jnp.float32),
+                      a_src.astype(jnp.float32))
+    sdst = _take_rows(score_dst.astype(jnp.float32), aux.receivers,
+                      sorted_idx=True)
+    pre = ssrc + sdst
+    es = jnp.where(pre >= 0, pre, slope * pre)
+    m_e = jnp.maximum(sdst + maxs, 0.0)                    # stop-grad bound
+    pes = jnp.exp(jnp.where(sm, es, _NEG) - m_e) * sm
+    lp = jnp.where(pre >= 0, 1.0, slope) * sm              # LeakyReLU'
+    pc = pes[:, None].astype(h.dtype)
+    plc = (pes * lp)[:, None].astype(h.dtype)
+    aug = jnp.concatenate([y * pc, pc, y * plc, plc], axis=1)
+    s = jax.ops.segment_sum(aug, aux.receivers, num_segments=aux.num_nodes,
+                            indices_are_sorted=True)       # (N, 2F+2)
+    num = s[:, :f]
+    den = s[:, f].astype(jnp.float32)
+    nump = s[:, f + 1:2 * f + 1]
+    denp = s[:, 2 * f + 1].astype(jnp.float32)
+    return num, den, nump, denp, y, pes, lp
+
+
+@jax.custom_vjp
+def _straggler_attention_fused(aux, sm, h, score_dst, a_src, maxs,
+                               slope) -> tuple:
+    num, den, *_ = _strag_core(aux, sm, h, score_dst, a_src, maxs, slope)
+    return num, den
+
+
+def _strag_fused_fwd(aux, sm, h, score_dst, a_src, maxs, slope):
+    num, den, nump, denp, y, pes, lp = _strag_core(
+        aux, sm, h, score_dst, a_src, maxs, slope)
+    return (num, den), (aux, y, pes, lp, nump, denp, a_src,
+                        h.dtype, score_dst.dtype)
+
+
+def _strag_fused_bwd(res, ct):
+    aux, y, pes, lp, nump, denp, a_src, hdt, sdt = res
+    dnum, dden = ct
+    f = y.shape[-1]
+    gaug = jnp.concatenate([dnum, dden[:, None].astype(dnum.dtype)], axis=1)
+    g_e = _take_rows(gaug, aux.receivers, sorted_idx=True)   # (E, F+1)
+    t_e = (jnp.sum(g_e[:, :f].astype(jnp.float32)
+                   * y.astype(jnp.float32), axis=-1)
+           + g_e[:, f].astype(jnp.float32))                  # dL/dpes
+    dpre = pes * lp * t_e
+    dsdst = (jnp.sum(nump.astype(jnp.float32) * dnum.astype(jnp.float32),
+                     axis=-1)
+             + denp * dden.astype(jnp.float32))              # node-local
+    da_src = jnp.einsum("e,ef->f", dpre, y.astype(jnp.float32))
+    dy = (pes[:, None].astype(hdt) * g_e[:, :f].astype(hdt)
+          + dpre[:, None].astype(hdt) * a_src.astype(hdt)[None, :])
+    dh = jax.ops.segment_sum(_take_rows(dy, aux.t_edge_perm),
+                             aux.t_receivers, num_segments=aux.num_nodes,
+                             indices_are_sorted=True)
+    return (None, None, dh, dsdst.astype(sdt), da_src.astype(a_src.dtype),
+            None, None)
+
+
+_straggler_attention_fused.defvjp(_strag_fused_fwd, _strag_fused_bwd)
+
+
 def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
                        h: jnp.ndarray, negative_slope: float,
                        att_src: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -164,6 +252,22 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     sorted_bwd = getattr(aux, "t_edge_perm", None) is not None
     use_segmm = (aux.segmm is not None and aux.segmm.edge_ids is not None
                  and f <= _SEGMM_MAX_F)
+    use_fused_bwd = (_FUSED_BWD and _GLOBAL_MAX and att_src is not None
+                     and sorted_bwd and not use_segmm
+                     and not _SORTED_NUM and not _SORTED_SRC
+                     and not _FUSED_TILES)
+    if use_fused_bwd:
+        # one augmented row scatter for num+den (+ the leaky'-weighted
+        # num'/den' residuals); ALL per-edge scalar segment ops disappear
+        # from forward and backward (see _straggler_attention_fused)
+        maxs = jax.lax.stop_gradient(jnp.max(score_src.astype(jnp.float32)))
+        m = jax.lax.stop_gradient(
+            jnp.maximum(score_dst.astype(jnp.float32) + maxs, 0.0))
+        num, den = _straggler_attention_fused(aux, sm, h, score_dst,
+                                              att_src, maxs,
+                                              float(negative_slope))
+        return _finish_tiles(aux, score_src, score_dst, h, negative_slope,
+                             m, num, den)
     y = None
     if att_src is not None and not use_segmm and not (sorted_bwd
                                                       and _SORTED_NUM):
@@ -262,7 +366,21 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         num = num_aug[:, :f]
         den = num_aug[:, f].astype(jnp.float32)
 
-    # ---- tile numerator/denominator --------------------------------------
+    return _finish_tiles(aux, score_src, score_dst, h, negative_slope, m,
+                         num, den, fused=fused)
+
+
+def _finish_tiles(aux, score_src, score_dst, h, negative_slope, m, num, den,
+                  fused: bool = False):
+    """Add the tile-dense attention contributions to the straggler
+    (num, den) partials and normalize."""
+    bsr = aux.bsr
+    n = aux.num_nodes
+    f = h.shape[-1]
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
     if fused:
         from fitgnn_tpu.ops.pallas.att_bsr import att_tiles
         num_t, den_t = att_tiles(bsr.block, float(negative_slope),
