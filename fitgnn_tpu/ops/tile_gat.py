@@ -196,12 +196,16 @@ def _straggler_attention_fused(aux, sm, h, score_dst, a_src, maxs,
 def _strag_fused_fwd(aux, sm, h, score_dst, a_src, maxs, slope):
     num, den, nump, denp, y, pes, lp = _strag_core(
         aux, sm, h, score_dst, a_src, maxs, slope)
+    # dtype tokens ride as empty arrays (raw np.dtype objects are not
+    # valid JAX residual types)
     return (num, den), (aux, y, pes, lp, nump, denp, a_src,
-                        h.dtype, score_dst.dtype)
+                        jnp.zeros((0,), h.dtype),
+                        jnp.zeros((0,), score_dst.dtype))
 
 
 def _strag_fused_bwd(res, ct):
-    aux, y, pes, lp, nump, denp, a_src, hdt, sdt = res
+    aux, y, pes, lp, nump, denp, a_src, htok, stok = res
+    hdt, sdt = htok.dtype, stok.dtype
     dnum, dden = ct
     f = y.shape[-1]
     gaug = jnp.concatenate([dnum, dden[:, None].astype(dnum.dtype)], axis=1)
