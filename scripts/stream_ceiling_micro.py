@@ -62,7 +62,10 @@ def main():
     for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         x = jnp.asarray(rng.standard_normal((N, F)), dtype=dtype)
         nbytes = 2 * N * F * x.dtype.itemsize          # read + write
-        per = timed(lambda v: v * 1.0000001, x)
+        # roll: pure data movement XLA cannot elide at ANY dtype (the old
+        # ``v * 1.0000001`` rounds to a no-op multiply in bf16 and the
+        # whole chain gets deleted — "2173 GB/s")
+        per = timed(lambda v: jnp.roll(v, 1, axis=0), x)
         print(f"XLA copy {name}: {per*1e3:.2f} ms  {nbytes/per/1e9:.0f} GB/s")
         # two-operand add: the shape of the hot elementwise fusions in the
         # training step (device traces show add fusions moving 3 arrays at
