@@ -84,12 +84,13 @@ AVG_DEGREE = 7
 NUM_FEATURES = 128
 HIDDEN = 512
 NUM_CLASSES = 40
-# 32-step timing window: the scan is ONE program either way (state chains,
+# 128-step timing window: the scan is ONE program either way (state chains,
 # fresh dropout seeds), but the window carries ~40 ms of fixed one-dispatch
 # tunnel/host latency that an 8-step window spreads as +5 ms/step (device
-# trace: 128 ms busy vs 168 ms wall at 8 steps).  16-step windows measured
-# anomalously slow twice (21.0/21.6 ms vs 16.5 at 32) — use 32.
-STEPS = int(os.environ.get("FITGNN_BENCH_STEPS", "32"))
+# trace: 128 ms busy vs 168 ms wall at 8 steps; 32-step 14.5 ms, 128-step
+# 13.6 ms ≈ the device rate).  16-step windows measured anomalously slow
+# twice (21.0/21.6 ms) — an XLA scan-length quirk, avoided.
+STEPS = int(os.environ.get("FITGNN_BENCH_STEPS", "128"))
 INTERNAL = 0.85              # fraction of edges inside a community
 
 
