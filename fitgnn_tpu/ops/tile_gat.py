@@ -160,6 +160,8 @@ _weighted_spmm_sorted.defvjp(_weighted_spmm_sorted_fwd,
 # sender scores derived from the gathered rows (ssrc = y·a_src).
 # ---------------------------------------------------------------------------
 _FUSED_BWD = os.environ.get("FITGNN_GAT_FUSED_BWD", "1") == "1"
+_FUSED_BWD_SORTED_DH = os.environ.get("FITGNN_GAT_FUSED_SORTED_DH",
+                                      "0") == "1"
 
 
 def _strag_core(aux, sm, h, score_dst, a_src, maxs, slope):
@@ -220,9 +222,17 @@ def _strag_fused_bwd(res, ct):
     da_src = jnp.einsum("e,ef->f", dpre, y.astype(jnp.float32))
     dy = (pes[:, None].astype(hdt) * g_e[:, :f].astype(hdt)
           + dpre[:, None].astype(hdt) * a_src.astype(hdt)[None, :])
-    dh = jax.ops.segment_sum(_take_rows(dy, aux.t_edge_perm),
-                             aux.t_receivers, num_segments=aux.num_nodes,
-                             indices_are_sorted=True)
+    if _FUSED_BWD_SORTED_DH:
+        dh = jax.ops.segment_sum(_take_rows(dy, aux.t_edge_perm),
+                                 aux.t_receivers,
+                                 num_segments=aux.num_nodes,
+                                 indices_are_sorted=True)
+    else:
+        # direct unsorted scatter: XLA fuses the dy construction into the
+        # scatter reads, where the permuted-sorted variant pays a full
+        # (E, F) row gather first
+        dh = jax.ops.segment_sum(dy, aux.senders,
+                                 num_segments=aux.num_nodes)
     return (None, None, dh, dsdst.astype(sdt), da_src.astype(a_src.dtype),
             None, None)
 
