@@ -159,7 +159,13 @@ _weighted_spmm_sorted.defvjp(_weighted_spmm_sorted_fwd,
 # Requires the global-bound stabilizer (m̂ is a stop-gradient constant) and
 # sender scores derived from the gathered rows (ssrc = y·a_src).
 # ---------------------------------------------------------------------------
-_FUSED_BWD = os.environ.get("FITGNN_GAT_FUSED_BWD", "1") == "1"
+# Measured SLOWER than autodiff of the den-column path on the bench graph
+# (48.4 ms unsorted-dh / 48.3 sorted-dh vs 47.2 autodiff): the wider
+# (E, 2F+2) forward scatter + the standalone dy construction cost more
+# than the two scalar segment-sums they replace — XLA's autodiff chains
+# fuse the scalar scatter into passes this decomposition pays separately.
+# Kept as a diagnostic opt-in.
+_FUSED_BWD = os.environ.get("FITGNN_GAT_FUSED_BWD", "0") == "1"
 _FUSED_BWD_SORTED_DH = os.environ.get("FITGNN_GAT_FUSED_SORTED_DH",
                                       "0") == "1"
 
