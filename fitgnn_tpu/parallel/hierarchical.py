@@ -66,6 +66,11 @@ class HierPlan:
     cluster_scale: jnp.ndarray    # (P, C) per-cluster scale (1/n or 1/√n)
     num_hosts: int = flax.struct.field(pytree_node=False)
     chips_per_host: int = flax.struct.field(pytree_node=False)
+    # optional per-shard hybrid BCSR+selector structures for the INTERIOR
+    # aggregation (leading shard axis on every leaf): the same MXU operator
+    # the single-chip path runs, so sharded layers stop paying XLA's
+    # per-edge scatter for the ~85 % of edges that are shard-local
+    int_hybrid: object = None
 
     @property
     def num_shards(self) -> int:
@@ -87,11 +92,100 @@ def _pad2(rows, fill, width, dtype):
     return out
 
 
+def _pad_tail(a, n, fill_last: bool = False):
+    """Pad array ``a`` to length ``n`` along axis 0 (zeros, or repeating the
+    last element to preserve sorted runs)."""
+    a = np.asarray(a)
+    if a.shape[0] >= n:
+        return a
+    pad = n - a.shape[0]
+    if fill_last and a.shape[0]:
+        tail = np.repeat(a[-1:], pad, axis=0)
+    else:
+        tail = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+    return np.concatenate([a, tail], axis=0)
+
+
+def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
+    """Build per-shard hybrid operators for the interior edge lists and
+    stack them (uniform leaf shapes, leading shard axis) so the structure
+    shards over the mesh like every other HierPlan leaf.
+
+    Padding invariants: BSR pads with zero tiles repeating the LAST row id
+    (same-row run → no spurious re-init, zero contribution); segmm pads
+    with zero-weight chunks repeating the last group id; COO lists pad
+    zero-weight edges repeating the last receiver (sortedness preserved).
+    """
+    import jax.tree_util as jtu
+    from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
+
+    n_pad = -(-n_loc // 128) * 128
+    hybs = [build_hybrid(np.asarray(s, np.int64), np.asarray(r, np.int64),
+                         np.asarray(w, np.float32), n_pad,
+                         min_block_edges=min_block_edges, use_segmm=True)
+            for s, r, w in zip(ints, intr, intw)]
+    # uniform pytree structure across shards: a shard with no dense tile
+    # gets a filler-only BSR (zero tiles, full row coverage — inert)
+    from fitgnn_tpu.ops.pallas.bsr_spmm import build_bsr
+    hybs = [h if h.bsr is not None else h.replace(bsr=build_bsr(
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float32), n_pad))
+            for h in hybs]
+
+    def pad_bsr(b, kt):
+        blocks = _pad_tail(np.asarray(b.blocks), kt)
+        rows = _pad_tail(np.asarray(b.rows), kt, fill_last=True)
+        cols = _pad_tail(np.asarray(b.cols), kt, fill_last=True)
+        return b.replace(blocks=jnp.asarray(blocks), rows=jnp.asarray(rows),
+                         cols=jnp.asarray(cols))
+
+    def pad_segmm(m, nc):
+        chunk = m.aux.shape[-1]
+        return m.replace(
+            block_ids=jnp.asarray(_pad_tail(np.asarray(m.block_ids), nc,
+                                            fill_last=True)),
+            aux=jnp.asarray(_pad_tail(np.asarray(m.aux), nc)),
+            senders=jnp.asarray(_pad_tail(np.asarray(m.senders),
+                                          nc * chunk)),
+            edge_ids=jnp.asarray(_pad_tail(np.asarray(m.edge_ids),
+                                           nc * chunk)))
+
+    kf = max(int(h.bsr.nnz_blocks) for h in hybs)
+    kt = max(int(h.bsr.transpose.nnz_blocks) for h in hybs)
+    ncf = max(int(h.segmm.num_chunks) for h in hybs)
+    nct = max(int(h.t_segmm.num_chunks) for h in hybs)
+    ne = max(int(h.num_coo_edges) for h in hybs)
+
+    padded = []
+    for h in hybs:
+        bsr = pad_bsr(h.bsr, kf).replace(
+            transpose=pad_bsr(h.bsr.transpose, kt))
+        padded.append(h.replace(
+            bsr=bsr,
+            segmm=pad_segmm(h.segmm, ncf),
+            t_segmm=pad_segmm(h.t_segmm, nct),
+            senders=jnp.asarray(_pad_tail(np.asarray(h.senders), ne,
+                                          fill_last=True)),
+            receivers=jnp.asarray(_pad_tail(np.asarray(h.receivers), ne,
+                                            fill_last=True)),
+            weights=jnp.asarray(_pad_tail(np.asarray(h.weights), ne)),
+            t_senders=jnp.asarray(_pad_tail(np.asarray(h.t_senders), ne,
+                                            fill_last=True)),
+            t_receivers=jnp.asarray(_pad_tail(np.asarray(h.t_receivers), ne,
+                                              fill_last=True)),
+            t_weights=jnp.asarray(_pad_tail(np.asarray(h.t_weights), ne)),
+            t_edge_perm=jnp.asarray(_pad_tail(np.asarray(h.t_edge_perm), ne,
+                                              fill_last=True))))
+    return jtu.tree_map(lambda *xs: jnp.stack(xs), *padded)
+
+
 def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
                     edge_weight: np.ndarray, num_hosts: int,
                     chips_per_host: int, nodes_per_shard: int,
                     cluster_of: np.ndarray, summary: str = "mean",
-                    pad_to: int = 8) -> HierPlan:
+                    pad_to: int = 8,
+                    interior_hybrid: bool = True,
+                    min_block_edges: int = 150) -> HierPlan:
     """Build the three-way edge split + exchange tables (host-side).
 
     ``senders_global``/``receivers_local``/``edge_weight``: the
@@ -220,7 +314,12 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
     hs_, hr_, hw_ = pad_edges(has_, har_, haw_)
     ss_, sr2, sw_ = pad_edges(sus_, sur_, suw_)
 
+    int_hybrid = (_stack_shard_hybrids(ints, intr, intw, n_loc,
+                                       min_block_edges=min_block_edges)
+                  if interior_hybrid else None)
+
     return HierPlan(
+        int_hybrid=int_hybrid,
         int_senders=jnp.asarray(is_), int_receivers=jnp.asarray(ir_),
         int_weights=jnp.asarray(iw_),
         halo_senders=jnp.asarray(hs_), halo_receivers=jnp.asarray(hr_),
@@ -257,9 +356,20 @@ def hier_aggregate(h: jnp.ndarray, plan_b: HierPlan) -> jnp.ndarray:
     summaries = jax.lax.all_gather(summaries, HOST_AXIS, tiled=True)
 
     # --- interior aggregation (overlaps the collectives) ----------------
-    out = segment_sum(
-        h[plan_b.int_senders] * plan_b.int_weights[:, None].astype(h.dtype),
-        plan_b.int_receivers, n_loc)
+    if plan_b.int_hybrid is not None:
+        # the single-chip MXU operator, shard-local: dense community tiles
+        # on the BCSR kernel + selector-matmul stragglers
+        from fitgnn_tpu.ops.hybrid_spmm import hybrid_spmm
+        hyb = plan_b.int_hybrid
+        n_pad = hyb.num_nodes
+        hp = (jnp.pad(h, ((0, n_pad - n_loc), (0, 0)))
+              if n_pad != n_loc else h)
+        out = hybrid_spmm(hyb, hp)[:n_loc]
+    else:
+        out = segment_sum(
+            h[plan_b.int_senders]
+            * plan_b.int_weights[:, None].astype(h.dtype),
+            plan_b.int_receivers, n_loc)
 
     # --- fold in boundary + summary contributions -----------------------
     out = out + segment_sum(

@@ -120,6 +120,28 @@ class TestHierParity:
         out = _run_hier_aggregate(mesh, plan, sg, h)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
+    def test_interior_hybrid_matches_segment_sum(self, setup):
+        """The per-shard MXU hybrid interior path == the plain segment-sum
+        interior path bit-for-bit-tolerance on the same plan inputs."""
+        x, s, r, y = setup
+        H, D = 2, 2
+        sg = _sharded_inputs(x, s, r, y, H * D)
+        n_pad = sg.num_nodes_global
+        cluster_of = np.arange(n_pad) // 8
+        args = (np.asarray(sg.senders), np.asarray(sg.receivers),
+                np.asarray(sg.edge_weight), H, D, sg.nodes_per_shard,
+                cluster_of)
+        plan_h = build_hier_plan(*args)                       # hybrid default
+        plan_p = build_hier_plan(*args, interior_hybrid=False)
+        assert plan_h.int_hybrid is not None
+        assert plan_p.int_hybrid is None
+
+        mesh = make_hier_mesh(H, D)
+        h = np.asarray(sg.x).reshape(n_pad, -1)
+        out_h = _run_hier_aggregate(mesh, plan_h, sg, h)
+        out_p = _run_hier_aggregate(mesh, plan_p, sg, h)
+        np.testing.assert_allclose(out_h, out_p, rtol=1e-5, atol=1e-5)
+
     def test_cluster_spanning_shards_rejected(self, setup):
         x, s, r, y = setup
         sg = _sharded_inputs(x, s, r, y, 4)
