@@ -30,10 +30,11 @@ REF_EDGES_PER_SEC = 5.0e7
 # selector-matmul straggler scatter.  Env knobs ablate each.
 BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "bfloat16")
 BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
-# per-layer tuned tile threshold: GAT pays per-edge softmax scalars on the
-# straggler path, so absorbing more edges into MXU tiles wins (measured
-# t16 53.8 ms vs t48 55.3 ms); GCN/SAGE/GIN break even at 48
-_DEFAULT_THRESHOLD = "16" if BENCH_LAYER == "GATConv" else "48"
+# per-layer tuned tile threshold: after the dB Pallas kernel + den-column
+# changes the GAT curve is a flat ~46.5±1 ms plateau over t8-t48 with the
+# best point at 32 (t8 46.7 / t16 47.2 / t32 46.1 / t48 46.5);
+# GCN/SAGE/GIN break even at 48
+_DEFAULT_THRESHOLD = "32" if BENCH_LAYER == "GATConv" else "48"
 BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD",
                                           _DEFAULT_THRESHOLD))
 BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
