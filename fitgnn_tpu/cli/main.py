@@ -241,12 +241,19 @@ def _partition(args, ds, train, val, test, num_classes):
             test_mask=test, seed=args.seed)
 
     cache = ArtifactCache(os.path.join(args.data_root, args.dataset, "saved"))
+    # the full split masks are baked into the cached SubgraphBatch, so they
+    # must be part of the key — hashing only the train COUNT serves stale
+    # val/test masks when split ratios change at equal train size
+    def _mask_arr(m):
+        return (np.asarray(m, dtype=np.uint8) if m is not None
+                else np.asarray([-1], dtype=np.int64))
+
     key = content_key(
         {"x": ds.x[:1000], "senders": ds.senders, "receivers": ds.receivers,
-         "y": np.asarray(ds.y)[:1000]},
+         "y": np.asarray(ds.y)[:1000], "train_mask": _mask_arr(train),
+         "val_mask": _mask_arr(val), "test_mask": _mask_arr(test)},
         {"ratio": args.coarsening_ratio, "method": args.coarsening_method,
-         "mode": _node_mode(args), "task": args.task, "seed": args.seed,
-         "train": int(np.asarray(train).sum()) if train is not None else -1})
+         "mode": _node_mode(args), "task": args.task, "seed": args.seed})
     part, hit = cache.load_or_compute(key, compute)
     if hit:
         print(f"partition artifacts loaded from cache ({key})",

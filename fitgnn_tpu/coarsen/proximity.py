@@ -41,7 +41,7 @@ def affinity_gs(g: LapGraph, num_vectors: int = 10, iterations: int = 1,
     X = smoothed_vectors(g, num_vectors, method="GS", iterations=iterations,
                          seed=seed)
     dots = np.sum(X[i] * X[j], axis=1) ** 2
-    norms = np.sum(X * X, axis=1) ** 2              # (N,)
+    norms = np.sum(X * X, axis=1)                   # (N,) squared 2-norms
     aff = dots / np.maximum(norms[i] * norms[j], 1e-30)
     # per-node max affinity over incident edges
     node_max = np.zeros(g.N)

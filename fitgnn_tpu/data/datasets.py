@@ -370,6 +370,8 @@ def load_qm9_sdf(root: str, max_molecules: Optional[int] = None
     targets = np.asarray(targets, dtype=np.float32)
 
     graphs = []
+    kept_rows = []   # csv row per KEPT molecule — skipped blocks must skip
+    # their target row too, or every later graph pairs with the wrong labels
     with open(sdf_p) as f:
         content = f.read()
     for bi, block in enumerate(content.split("$$$$\n")):
@@ -411,9 +413,12 @@ def load_qm9_sdf(root: str, max_molecules: Optional[int] = None
         np.add.at(deg, s, 1.0)
         np.add.at(deg, r, 1.0)
         feats[:, 8] = deg
+        if bi >= len(targets):
+            break
         graphs.append((feats, s, r))
+        kept_rows.append(bi)
     return GraphDataset(name="QM9", graphs=graphs,
-                        y=targets[: len(graphs)])
+                        y=targets[np.asarray(kept_rows, dtype=np.int64)])
 
 
 # ---------------------------------------------------------------------------

@@ -42,9 +42,9 @@ def build_ell(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
               num_nodes_padded: int, min_k: int = 4,
               max_k: int = 4096, with_transpose: bool = True) -> EllMatrix:
     """Build degree-bucketed ELL tables (host-side). Receivers need not be
-    sorted.  Nodes with degree > max_k overflow into extra rows of the same
-    bucket (their partial sums share the output row via duplicate row ids —
-    avoided here by capping K at the true max degree instead)."""
+    sorted.  ``max_k`` is a soft cap on bucket growth: if any node's degree
+    exceeds it, the final bucket widens to the true max degree so every edge
+    is represented exactly (hub rows pay padding, never dropped edges)."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
@@ -80,6 +80,11 @@ def build_ell(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     while True:
         lo = 1 if k == min_k else k // 2 + 1
         hi = k
+        if k >= max_k and kmax > k:
+            # soft cap: the last bucket widens to the true max degree so
+            # hub nodes above max_k keep ALL their edges (dropping them
+            # would silently zero those output rows and their gradients)
+            hi = k = kmax
         sel = deg_nodes[(deg[deg_nodes] >= lo) & (deg[deg_nodes] <= hi)]
         if len(sel):
             nb = len(sel)

@@ -85,6 +85,11 @@ def build_bsr(senders: np.ndarray, receivers: np.ndarray, weight: np.ndarray,
     halves the dominant tile HBM traffic; accumulation stays float32.
     """
     assert num_nodes_padded % block == 0
+    if rowwalk and block != BLOCK:
+        # the row-walk kernel's out tiles, x-slab offsets and scratch
+        # shapes are built on the 128-edge MXU tile — other block sizes
+        # would silently compute on wrong slabs
+        raise ValueError(f"rowwalk supports block={BLOCK} only, got {block}")
     nb = num_nodes_padded // block
     brow = receivers // block
     bcol = senders // block

@@ -416,7 +416,10 @@ def _finish_tiles(aux, score_src, score_dst, h, negative_slope, m, num, den,
         mask = bsr.blocks > 0                       # (K,b,b) static adjacency
         ssrc = score_src.reshape(nb, b)[cols]       # (K,b) sender scores
         sdst = score_dst.reshape(nb, b)[rows]       # (K,b) receiver scores
-        e = leaky(sdst[:, :, None] + ssrc[:, None, :])
+        # mask BEFORE the exp: an edgeless row has m = _NEG, and
+        # exp(raw_e + 1e30) = inf on its masked entries would turn the
+        # where-VJP's 0 upstream into 0·inf = NaN score gradients
+        e = jnp.where(mask, leaky(sdst[:, :, None] + ssrc[:, None, :]), _NEG)
         mrow = m.reshape(nb, b)[rows]               # (K,b)
         pe = jnp.exp(e - mrow[:, :, None])
         pe = jnp.where(mask, pe, 0.0)

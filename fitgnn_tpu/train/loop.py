@@ -144,7 +144,8 @@ def _gs_train_epoch(state, batches, rng, cfg):
                                           reduction=cfg.loss_reduction)
         bs = min(cfg.batch_size, batch.num_subgraphs)
         return steps.gs_train_epoch_mb(state, batch, rng, cfg.task,
-                                       batch_size=bs)
+                                       batch_size=bs,
+                                       reduction=cfg.loss_reduction)
     if cfg.gradient_method == "GD":
         return steps.gs_train_step_gd_multi(state, batches, rng, cfg.task)
     # MB over buckets: step through each bucket's chunks in turn
@@ -152,7 +153,8 @@ def _gs_train_epoch(state, batches, rng, cfg):
     for i, b in enumerate(batches):
         bs = min(cfg.batch_size, b.num_subgraphs)
         state, loss = steps.gs_train_epoch_mb(
-            state, b, jax.random.fold_in(rng, i), cfg.task, batch_size=bs)
+            state, b, jax.random.fold_in(rng, i), cfg.task, batch_size=bs,
+            reduction=cfg.loss_reduction)
         total += float(loss)
     return state, total
 

@@ -160,14 +160,15 @@ def gs_train_step_gd(state: TrainState, batch: SubgraphBatch, rng, task: str,
     return state.apply_gradients(grads=grads), val
 
 
-@functools.partial(jax.jit, static_argnames=("task", "batch_size"))
+@functools.partial(jax.jit,
+                   static_argnames=("task", "batch_size", "reduction"))
 def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str,
-                      batch_size: int = 1):
+                      batch_size: int = 1, reduction: str = "mean"):
     """Minibatch mode: one optimizer step per chunk of ``batch_size``
     subgraphs (the reference's DataLoader batches, ``run.py:217-253``;
     batch_size=128 there), as a lax.scan over chunks.  Chunks with no train
     nodes leave the state untouched (the reference ``continue``s them)."""
-    loss_fn = _loss_fn(task)
+    loss_fn = _loss_fn(task, reduction)
     s = batch.num_subgraphs
     n_chunks = -(-s // batch_size)
     pad = n_chunks * batch_size - s
@@ -240,20 +241,29 @@ def gs_eval_step_multi(state: TrainState, batches, task: str,
     loss_s = 0.0
     metric_s = 0.0
     count = 0.0
+    y_s = 0.0      # Σ y·m / Σ y²·m across buckets — the std-normalized
+    y2_s = 0.0     # regression metric needs GLOBAL target moments
     for b in batches:
         mask = b.val_mask if split == "val" else b.test_mask
         out = _vmapped_out(state.apply_fn, state.params, b, False, None)
         if task == "classification":
             s, c = masked_nll_sum(out, b.y, mask)
             corr, _ = masked_correct_sum(out, b.y, mask)
+            metric_s += corr
         else:
             s, c = masked_l1_sum(out, b.y, mask)
-            corr = s
+            m = mask.astype(out.dtype)
+            y_s += jnp.sum(b.y * m)
+            y2_s += jnp.sum((b.y ** 2) * m)
         loss_s += s
-        metric_s += corr
         count += c
     count = jnp.maximum(count, 1.0)
-    return loss_s / count, metric_s / count
+    loss = loss_s / count
+    if task == "classification":
+        return loss, metric_s / count
+    mean = y_s / count
+    std = jnp.sqrt(jnp.maximum(y2_s / count - mean ** 2, 0.0))
+    return loss, loss / jnp.maximum(std, 1e-12)
 
 
 @functools.partial(jax.jit, static_argnames=("task", "split"))
@@ -266,6 +276,7 @@ def gs_eval_step(state: TrainState, batch: SubgraphBatch, task: str,
     if task == "classification":
         metric = masked_accuracy(out, batch.y, mask)
     else:
-        loss = masked_l1_std_normalized(out, batch.y, mask)
-        metric = loss
+        # loss stays plain masked L1 (best-val selection), metric is the
+        # reference's std-normalized L1 — same split as gc_eval_step
+        metric = masked_l1_std_normalized(out, batch.y, mask)
     return loss, metric
