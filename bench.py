@@ -67,6 +67,10 @@ BENCH_SCAN = os.environ.get("FITGNN_BENCH_SCAN", "1") == "1"
 # tiles per BSR grid step (build_bsr group=): >1 amortizes per-grid-step
 # overhead at the cost of zero-tile padding in short block-rows
 BENCH_TILE_GROUP = int(os.environ.get("FITGNN_BENCH_TILE_GROUP", "1"))
+# split block-diagonal dense tiles onto the Pallas diag-run kernel
+# (R contiguous blocks per grid step; ops/pallas/diag_spmm.py)
+BENCH_DIAG = os.environ.get("FITGNN_BENCH_DIAG", "0") == "1"
+BENCH_DIAG_R = int(os.environ.get("FITGNN_BENCH_DIAG_R", "0")) or None
 # tile edge length (multiple of 128): larger tiles cut Pallas grid steps on
 # block-diagonal-dominant adjacency; retune FITGNN_BENCH_THRESHOLD with it
 # (break-even edges/tile scales ~quadratically with the edge length)
@@ -153,13 +157,17 @@ def main():
                        min_block_edges=BENCH_TILE_THRESHOLD,
                        block=BENCH_BLOCK,
                        tile_dtype=tile_dtype, use_segmm=BENCH_SEGMM,
+                       use_diag=BENCH_DIAG, diag_r=BENCH_DIAG_R,
                        use_rowwalk=BENCH_ROWWALK,
                        tile_group=BENCH_TILE_GROUP,
                        use_einsum_tiles=BENCH_EINSUM_TILES,
                        semantics=semantics)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
-    print(f"hybrid: {nb} dense tiles, {hyb.num_coo_edges} coo edges "
-          f"of {num_edges}", file=sys.stderr)
+    nd = 0 if hyb.diag_blocks is None else hyb.diag_blocks.shape[0]
+    print(f"hybrid: {nb} dense tiles"
+          + (f" + {nd} diag blocks (r={hyb.diag_r})" if nd else "")
+          + f", {hyb.num_coo_edges} coo edges of {num_edges}",
+          file=sys.stderr)
     if BENCH_ABLATE:
         one = lambda a: a[:1]  # noqa: E731
         hyb = hyb.replace(

@@ -59,12 +59,16 @@ class HybridSpmm:
                                        # tile values (GAT attention tiles);
                                        # built only for att_unit semantics
     diag_blocks: Optional[jnp.ndarray] = None  # (NB, B, B) block-DIAGONAL
-                                       # dense tiles as one batched einsum
-                                       # (opt-in; measured ~1 ms SLOWER than
-                                       # keeping the diagonal in the BSR
-                                       # kernel on the bench graph — the
-                                       # split strands off-diag tiles with
-                                       # row-coverage filler)
+                                       # dense tiles (opt-in split)
+    diag_r: int = flax.struct.field(pytree_node=False, default=0)
+                                       # >0: run the diagonal through the
+                                       # Pallas diag-run kernel (R blocks
+                                       # per grid step, contiguous X/out
+                                       # slabs — ops/pallas/diag_spmm.py)
+                                       # with the straggler+diag+tile adds
+                                       # fused through init operands;
+                                       # 0: XLA batched einsum (the round-2
+                                       # variant, kept for A/B)
 
     @property
     def num_coo_edges(self) -> int:
@@ -78,6 +82,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  use_segmm: bool = False,
                  segmm_group: int = None,
                  use_diag: bool = False,
+                 diag_r: int | None = None,
                  use_rowwalk: bool = False,
                  tile_group: int = 1,
                  use_einsum_tiles: bool = False,
@@ -94,6 +99,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     dense_all = counts[inv] >= min_block_edges
 
     diag_blocks = None
+    diag_r_val = 0
     on_diag = np.zeros_like(dense_all)
     if use_diag:
         on_diag = dense_all & (receivers // block == senders // block)
@@ -105,6 +111,11 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
             diag_blocks = jnp.asarray(db)
             if tile_dtype is not None:
                 diag_blocks = diag_blocks.astype(tile_dtype)
+            if diag_r is None:
+                from fitgnn_tpu.ops.pallas.diag_spmm import pick_run_length
+                diag_r_val = pick_run_length(nb)
+            else:
+                diag_r_val = diag_r
         else:
             on_diag = np.zeros_like(dense_all)
 
@@ -162,7 +173,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                       t_edge_perm=jnp.asarray(t_edge_perm, dtype=jnp.int32),
                       num_nodes=num_nodes_padded, semantics=semantics,
                       segmm=segmm, t_segmm=t_segmm, dyn_plan=dyn_plan,
-                      diag_blocks=diag_blocks)
+                      diag_blocks=diag_blocks, diag_r=diag_r_val)
 
 
 def _coo_apply(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
@@ -221,7 +232,47 @@ def _fused_core_bwd(h, g):
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
+def _diag_chain(h: HybridSpmm, x: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+    """stragglers → diag-run kernel → BSR tiles, every add fused through an
+    init operand (zero separate (N, F) add passes)."""
+    from fitgnn_tpu.ops.pallas.bsr_spmm import bsr_spmm_acc_raw
+    from fitgnn_tpu.ops.pallas.diag_spmm import diag_spmm_raw
+    out = _coo_apply_t(h, x) if transpose else _coo_apply(h, x)
+    out = diag_spmm_raw(h.diag_blocks, x, h.diag_r, transpose=transpose,
+                        init=out)
+    if h.bsr is not None:
+        b = (h.bsr.transpose.replace(rowwalk=h.bsr.rowwalk,
+                                     einsum=h.bsr.einsum)
+             if transpose else h.bsr)
+        out = bsr_spmm_acc_raw(b, x, out)
+    return out
+
+
+@jax.custom_vjp
+def _fused_core_diag(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    return _diag_chain(h, x, transpose=False)
+
+
+def _fused_core_diag_fwd(h, x):
+    return _fused_core_diag(h, x), h
+
+
+def _fused_core_diag_bwd(h, g):
+    # symmetric structure: dX = Aᵀ·g rides the same chain with the COO
+    # transpose lists, the in-VMEM-transposed diag blocks, and the BSR
+    # transpose structure
+    return None, _diag_chain(h, g, transpose=True)
+
+
+_fused_core_diag.defvjp(_fused_core_diag_fwd, _fused_core_diag_bwd)
+
+
 def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    if (h.diag_blocks is not None and h.diag_r > 0
+            and (h.bsr is None or h.bsr.transpose is not None)
+            and not (h.bsr is not None and (h.bsr.rowwalk or h.bsr.einsum
+                                            or h.bsr.group > 1))):
+        return _fused_core_diag(h, x)
     if h.bsr is not None and h.bsr.transpose is not None:
         out = _fused_core(h, x)
     else:

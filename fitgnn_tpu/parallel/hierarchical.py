@@ -332,17 +332,10 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
         num_hosts=num_hosts, chips_per_host=chips_per_host)
 
 
-def hier_aggregate(h: jnp.ndarray, plan_b: HierPlan) -> jnp.ndarray:
-    """One shard's hierarchical aggregation of activations ``h`` (n_loc, F).
-
-    ``plan_b``: this shard's slices (leading shard axis already indexed).
-    Collectives are issued FIRST and the interior segment-sum runs while they
-    are in flight (no data dependency — XLA schedules them concurrently).
-    """
-    n_loc = h.shape[0]
+def _hier_tables(h: jnp.ndarray, plan_b: HierPlan):
+    """Issue both collectives for one shard: returns the (D·K, F) halo table
+    and the (P·C, F) summary table the plan's sender indices point into."""
     C = plan_b.cluster_scale.shape[0]
-
-    # --- issue both collectives -----------------------------------------
     buf = h[plan_b.send_idx] * plan_b.send_mask[..., None].astype(h.dtype)
     halo = jax.lax.all_to_all(buf, CHIP_AXIS, split_axis=0, concat_axis=0,
                               tiled=True).reshape(-1, h.shape[-1])
@@ -354,6 +347,18 @@ def hier_aggregate(h: jnp.ndarray, plan_b: HierPlan) -> jnp.ndarray:
     # row order: shard p = host·D + chip contributes rows [p·C, (p+1)·C)
     summaries = jax.lax.all_gather(local_summary, CHIP_AXIS, tiled=True)
     summaries = jax.lax.all_gather(summaries, HOST_AXIS, tiled=True)
+    return halo, summaries
+
+
+def hier_aggregate(h: jnp.ndarray, plan_b: HierPlan) -> jnp.ndarray:
+    """One shard's hierarchical aggregation of activations ``h`` (n_loc, F).
+
+    ``plan_b``: this shard's slices (leading shard axis already indexed).
+    Collectives are issued FIRST and the interior segment-sum runs while they
+    are in flight (no data dependency — XLA schedules them concurrently).
+    """
+    n_loc = h.shape[0]
+    halo, summaries = _hier_tables(h, plan_b)
 
     # --- interior aggregation (overlaps the collectives) ----------------
     if plan_b.int_hybrid is not None:
@@ -383,6 +388,41 @@ def hier_aggregate(h: jnp.ndarray, plan_b: HierPlan) -> jnp.ndarray:
     return out
 
 
+def hier_attention_aggregate(h: jnp.ndarray, plan_b: HierPlan,
+                             a_src: jnp.ndarray, a_dst: jnp.ndarray,
+                             negative_slope: float) -> jnp.ndarray:
+    """One shard's hierarchical GAT aggregation: per-receiver softmax over
+    the three edge classes together, with remote-host senders represented by
+    their cluster-summary rows (scores computed ON the summary rows — the
+    summary stands in for the remote node in both message and score, the
+    attention analog of the reference's cluster_node features
+    ``utils.py:191-232``).  Receiver-partitioned edges make the softmax
+    exact for num_hosts == 1 (no summary edges)."""
+    n_loc = h.shape[0]
+    halo, summaries = _hier_tables(h, plan_b)
+    table = jnp.concatenate([h, halo, summaries], axis=0)
+    senders = jnp.concatenate([
+        plan_b.int_senders,
+        plan_b.halo_senders + n_loc,
+        plan_b.sum_senders + n_loc + halo.shape[0]])
+    receivers = jnp.concatenate([plan_b.int_receivers,
+                                 plan_b.halo_receivers,
+                                 plan_b.sum_receivers])
+    mask = jnp.concatenate([plan_b.int_weights, plan_b.halo_weights,
+                            plan_b.sum_weights]) > 0
+    y = table[senders]                                        # (E, C)
+    ssrc = y.astype(jnp.float32) @ a_src.astype(jnp.float32)  # (E,)
+    sdst = (h.astype(jnp.float32) @ a_dst.astype(jnp.float32))[receivers]
+    pre = ssrc + sdst
+    pre = jnp.where(pre >= 0, pre, negative_slope * pre)
+    from fitgnn_tpu.ops.segment import segment_softmax
+    # concat of three receiver-sorted lists is not globally sorted
+    alpha = segment_softmax(pre, receivers, n_loc, mask=mask,
+                            indices_are_sorted=False)
+    return segment_sum(y * alpha[:, None].astype(y.dtype), receivers, n_loc,
+                       indices_are_sorted=False)
+
+
 class HierGCNConv(nn.Module):
     """GCN layer over a ``HierPlan`` — param tree matches ``DistGCNConv``."""
 
@@ -397,18 +437,92 @@ class HierGCNConv(nn.Module):
         return out + bias
 
 
+class HierSAGEConv(nn.Module):
+    """SAGE layer over a ``HierPlan`` (plan weights = neighbor-mean weights,
+    ``shard.LAYER_SEMANTICS['SAGEConv']``); param tree matches
+    ``models.layers.SAGEConv``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x_local, plan_b: HierPlan):
+        lin_l = nn.Dense(self.features, use_bias=True, name="lin_l")
+        b_l = lin_l(jnp.zeros((1, x_local.shape[-1]), x_local.dtype))
+        h = lin_l(x_local) - b_l
+        out = hier_aggregate(h, plan_b) + b_l
+        return out + nn.Dense(self.features, use_bias=False,
+                              name="lin_r")(x_local)
+
+
+class HierGINConv(nn.Module):
+    """GIN layer over a ``HierPlan`` (plan weights = unit non-self weights);
+    param tree matches ``models.layers.GINConv``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x_local, plan_b: HierPlan):
+        eps = self.param("eps", nn.initializers.zeros, ())
+        mlp_0 = nn.Dense(self.features, name="mlp_0")
+        b0 = mlp_0(jnp.zeros((1, x_local.shape[-1]), x_local.dtype))
+        h0 = mlp_0(x_local) - b0
+        s = hier_aggregate(h0, plan_b)
+        h = nn.relu((1.0 + eps).astype(h0.dtype) * h0 + s + b0)
+        return nn.relu(nn.Dense(self.features, name="mlp_1")(h))
+
+
+class HierGATConv(nn.Module):
+    """Single-head GAT layer over a ``HierPlan`` (plan weights = unit mask,
+    ``att_unit``); param tree matches ``models.layers.GATConv`` at heads=1."""
+
+    features: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x_local, plan_b: HierPlan):
+        from fitgnn_tpu.models.layers import _Kernel
+        kernel = _Kernel((x_local.shape[-1], self.features), name="lin")()
+        a_src = self.param("att_src", nn.initializers.glorot_uniform(),
+                           (1, self.features))
+        a_dst = self.param("att_dst", nn.initializers.glorot_uniform(),
+                           (1, self.features))
+        h = x_local @ kernel
+        out = hier_attention_aggregate(h, plan_b, a_src[0], a_dst[0],
+                                       self.negative_slope)
+        return out + self.param("bias", nn.initializers.zeros,
+                                (self.features,),
+                                jnp.float32).astype(out.dtype)
+
+
+HIER_LAYER_REGISTRY = {
+    "GCNConv": HierGCNConv,
+    "SAGEConv": HierSAGEConv,
+    "GINConv": HierGINConv,
+    "GATConv": HierGATConv,
+}
+
+
 class HierNodeModel(nn.Module):
-    """GCN node model over the hierarchical plan; param tree mirrors
-    ``DistNodeModel`` ({"convs": {"GCNConv_i": ...}, "head"})."""
+    """Node model over the hierarchical plan; param tree mirrors
+    ``DistNodeModel`` ({"convs": {"<layer>_i": ...}, "head"}); the layer is
+    selected by name like the reference (``network.py:13``)."""
 
     hidden: int
     num_layers: int
     out_dim: int
     classify: bool = True
     dropout_rate: float = 0.5
+    layer_name: str = "GCNConv"
 
     @nn.compact
     def __call__(self, x_local, plan_b: HierPlan, *, train: bool = False):
+        if self.layer_name not in HIER_LAYER_REGISTRY:
+            raise ValueError(
+                f"unknown hier layer {self.layer_name!r}; choose from "
+                f"{sorted(HIER_LAYER_REGISTRY)}")
+        layer_cls = HIER_LAYER_REGISTRY[self.layer_name]
+        layer_name = self.layer_name
+
         class _Stack(nn.Module):
             hidden: int
             num_layers: int
@@ -417,7 +531,7 @@ class HierNodeModel(nn.Module):
             @nn.compact
             def __call__(self, x, *, train=False):
                 for i in range(self.num_layers):
-                    x = HierGCNConv(self.hidden, name=f"GCNConv_{i}")(
+                    x = layer_cls(self.hidden, name=f"{layer_name}_{i}")(
                         x, plan_b)
                     x = nn.elu(x)
                     x = nn.Dropout(self.dropout_rate,

@@ -20,6 +20,20 @@ import jax.numpy as jnp
 from fitgnn_tpu.graph.build import gcn_normalize, _round_up
 
 
+#: aggregation-weight semantics per conv layer (mirrors the ``g.aux``
+#: semantics strings in ``models.layers`` / ``graph.optimize``): the dist
+#: layers are static-weight segment-sums, so the per-layer aggregation —
+#: GCN's symmetric normalization, SAGE's neighbor mean, GIN's neighbor sum,
+#: GAT's unit mask (softmax weights are computed on device) — is baked into
+#: the sharded edge weights at build time.
+LAYER_SEMANTICS = {
+    "GCNConv": "gcn_norm",
+    "SAGEConv": "mean_nonself",
+    "GINConv": "sum_nonself",
+    "GATConv": "att_unit",
+}
+
+
 class ShardedGraph(NamedTuple):
     """Leading axis = device shard. Senders are GLOBAL ids; receivers LOCAL."""
 
@@ -59,13 +73,26 @@ def shard_graph(
     self_loops: bool = True,
     normalize: bool = True,
     edge_pad_to: int = 128,
+    semantics: Optional[str] = None,
 ) -> ShardedGraph:
     """Partition a node-labelled graph into ``num_shards`` contiguous blocks.
 
     ``order``: optional node permutation applied first (community placement).
-    Edge weights are GCN-normalized on the *global* graph before sharding, so
+    Edge weights are computed on the *global* graph before sharding, so
     sharded aggregation is bit-equivalent to single-device aggregation.
+    ``semantics``: one of ``LAYER_SEMANTICS.values()`` — overrides
+    ``self_loops``/``normalize`` with the layer's aggregation weights
+    (default: ``"gcn_norm"``, the original behavior).
     """
+    if semantics is not None:
+        if semantics == "gcn_norm":
+            self_loops, normalize = True, True
+        elif semantics in ("mean_nonself", "sum_nonself"):
+            self_loops, normalize = False, False
+        elif semantics == "att_unit":
+            self_loops, normalize = True, False
+        else:
+            raise ValueError(f"unknown shard semantics {semantics!r}")
     n = x.shape[0]
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -95,7 +122,62 @@ def shard_graph(
         w = np.concatenate([w, np.ones(n, dtype=np.float32)])
     if normalize:
         w = gcn_normalize(s, r, w, n)
+    if semantics == "mean_nonself":
+        # neighbor mean = segment-sum with 1/indeg weights (non-self edges
+        # only; isolated nodes aggregate to 0, matching segment_mean's
+        # masked fallback in models.layers.SAGEConv)
+        indeg = np.bincount(r, minlength=n).astype(np.float32)
+        w = 1.0 / np.maximum(indeg[r], 1.0)
 
+    return _partition_blocks(x, s, r, w, y, num_shards, train_mask, val_mask,
+                             test_mask, edge_pad_to)
+
+
+def shard_prebuilt_graph(
+    x: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weight: np.ndarray,
+    y: np.ndarray,
+    num_shards: int,
+    *,
+    train_mask: Optional[np.ndarray] = None,
+    val_mask: Optional[np.ndarray] = None,
+    test_mask: Optional[np.ndarray] = None,
+    order: Optional[np.ndarray] = None,
+    edge_pad_to: int = 128,
+) -> ShardedGraph:
+    """Shard an ALREADY-PROCESSED edge list verbatim (no symmetrization, no
+    self-loop insertion, no renormalization) — for graphs whose aggregation
+    weights were built elsewhere, e.g. the coarse Gc graph (its GCN weights
+    normalize the WEIGHTED coarse adjacency ``PᵀWP``, which a raw re-shard
+    could not reproduce).  Zero-weight (padding) edges are dropped."""
+    n = x.shape[0]
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float32)
+    keep = weight != 0
+    s, r, w = senders[keep], receivers[keep], weight[keep]
+    y = np.asarray(y)
+    if order is not None:
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        x, y = x[order], y[order]
+        s, r = inv[s], inv[r]
+        train_mask = (None if train_mask is None
+                      else np.asarray(train_mask)[order])
+        val_mask = None if val_mask is None else np.asarray(val_mask)[order]
+        test_mask = (None if test_mask is None
+                     else np.asarray(test_mask)[order])
+    return _partition_blocks(x, s, r, w, y, num_shards, train_mask, val_mask,
+                             test_mask, edge_pad_to)
+
+
+def _partition_blocks(x, s, r, w, y, num_shards, train_mask, val_mask,
+                      test_mask, edge_pad_to) -> ShardedGraph:
+    """Common tail: contiguous node blocks, per-receiver edge placement,
+    padding to uniform shapes."""
+    n = x.shape[0]
     n_loc = _round_up(-(-n // num_shards), 8)
     n_pad = n_loc * num_shards
 

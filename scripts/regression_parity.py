@@ -40,7 +40,8 @@ def main():
     os.chdir(work)
 
     common = ["--dataset", "sbmreg", "--data_root", "dataset",
-              "--task", "node_reg", "--hidden", str(args.hidden),
+              "--task", "node_reg", "--experiment", "random",
+              "--hidden", str(args.hidden),
               "--runs", str(args.runs), "--epochs1", str(args.epochs1),
               "--epochs2", str(args.epochs2), "--layer_name", args.layer]
 

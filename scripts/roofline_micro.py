@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 HBM_PEAK = 819e9
-REPS = 24
+REPS = int(os.environ.get("ROOFLINE_REPS", "128"))
 # >1: time the grouped BSR kernel (build_bsr group=N) instead of the
 # per-tile kernel; zero-padding tiles are fetched but not useful — both
 # fetched-GB/s and useful-GB/s are printed
@@ -28,21 +28,39 @@ RTHRESH = int(os.environ.get("ROOFLINE_THRESHOLD", "0"))  # 0 = scale 48
 
 
 def timed(fn, x):
-    """One dispatch with REPS chained iterations inside (fori_loop): the
-    tunnel adds ~2-3 ms per DISPATCH, so sub-ms ops must amortize inside a
-    single program."""
+    """Dispatch-latency-FREE per-op time: time a REPS-iteration and a
+    2·REPS-iteration fori_loop program and report (t_hi − t_lo)/REPS.
+
+    The tunnel adds ~40 ms of FIXED latency per dispatch; dividing one
+    dispatch by its rep count leaves 40 ms/REPS of bias per op (at the old
+    REPS=24 that bias was ~1.7 ms — large enough to make every kernel read
+    as ~200 GB/s regardless of its true rate).  The two-length difference
+    cancels the constant exactly; median of 3 pairs rejects jitter."""
     import jax
 
-    @jax.jit
-    def loop(x_):
-        return jax.lax.fori_loop(0, REPS, lambda i, v: fn(v), x_)
+    def make(reps):
+        @jax.jit
+        def loop(x_):
+            return jax.lax.fori_loop(0, reps, lambda i, v: fn(v), x_)
+        return loop
 
-    out = loop(x)
-    _ = float(out.reshape(-1)[0])
-    t0 = time.perf_counter()
-    out = loop(out)
-    _ = float(out.reshape(-1)[0])
-    return (time.perf_counter() - t0) / REPS
+    lo, hi = make(REPS), make(2 * REPS)
+    out = lo(x)
+    _ = float(out.reshape(-1)[0])          # compile + warm lo
+    out = hi(out)
+    _ = float(out.reshape(-1)[0])          # compile + warm hi
+    diffs = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = lo(out)                      # fresh input each call: the
+        _ = float(out.reshape(-1)[0])      # tunnel result cache can't serve
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = hi(out)
+        _ = float(out.reshape(-1)[0])
+        t_hi = time.perf_counter() - t0
+        diffs.append((t_hi - t_lo) / REPS)
+    return float(np.median(diffs))
 
 
 def main():
@@ -87,6 +105,19 @@ def main():
     print(f"diag einsum ({nb} blocks): {per*1e3:.2f} ms  "
           f"{t_bytes/per/1e9:.0f} GB/s = {t_bytes/per/HBM_PEAK*100:.0f}% "
           f"of HBM roofline")
+
+    # --- Pallas diag-run kernel (R contiguous blocks per grid step) -----
+    from fitgnn_tpu.ops.pallas.diag_spmm import diag_spmm_raw, pick_run_length
+    rr = int(os.environ.get("ROOFLINE_DIAG_R", "0")) or pick_run_length(nb)
+    if nb % rr == 0:
+        def run_diag_k(h_):
+            o = diag_spmm_raw(db, h_, rr)
+            return (o * 0.05).astype(h_.dtype)
+
+        per = timed(run_diag_k, h)
+        print(f"diag pallas r={rr} ({nb} blocks): {per*1e3:.2f} ms  "
+              f"{t_bytes/per/1e9:.0f} GB/s = "
+              f"{t_bytes/per/HBM_PEAK*100:.0f}% of HBM roofline")
 
     # --- off-diagonal BSR kernel ---------------------------------------
     bsr = hyb.bsr

@@ -90,6 +90,46 @@ class TestTwoProcessCollectives:
             assert "twoproc-ok" in out
 
 
+class TestTwoProcessTrainStep:
+    def test_cross_process_hier_train_matches_single_process(self):
+        """2 processes × 4 virtual CPU devices run the hier train step over
+        the global 2×4 mesh; per-step losses must equal the single-process
+        8-device run (identical data/params/rng).  The pod-slice pattern is
+        TRAINED across a real process boundary, not just allgathered."""
+        import jax
+        from jax.sharding import Mesh
+        from fitgnn_tpu.parallel import CHIP_AXIS, HOST_AXIS
+        from tests.hier_two_proc_helper import build, run_steps
+
+        # single-process reference on this process's 8 virtual devices
+        sg, plan, model, state = build()
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    (HOST_AXIS, CHIP_AXIS))
+        ref = run_steps(mesh, sg, plan, model, state)
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   PYTHONPATH="/root/repo")
+        script = os.path.join(os.path.dirname(__file__),
+                              "hier_two_proc_helper.py")
+        procs = [subprocess.Popen(
+            [sys.executable, script, str(port), str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, err[-3000:]
+            outs.append(out)
+        line = next(ln for ln in outs[0].splitlines()
+                    if ln.startswith("twoproc-losses"))
+        got = [float(v) for v in line.split()[1:]]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 class TestPlacement:
     def test_contiguous_and_balanced(self):
         rng = np.random.default_rng(0)
