@@ -56,6 +56,7 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                           min_block_edges: int = 48,
                           tile_dtype=None, use_segmm: bool = True,
                           tile_group: int = 1, layer_name: str = "GCNConv",
+                          use_diag: bool = False,
                           seed: int = 0) -> tuple[Graph, np.ndarray]:
     """Reorder nodes by two-level Leiden communities, build the padded
     ``Graph`` and attach a ``HybridSpmm`` operator as ``g.aux``.
@@ -88,7 +89,7 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        w_op, g.num_nodes_padded,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype,
-                       use_segmm=use_segmm,
+                       use_segmm=use_segmm, use_diag=use_diag,
                        tile_group=tile_group, semantics=semantics)
     return g._replace(aux=hyb), order
 

@@ -401,6 +401,25 @@ def _finish_tiles(aux, score_src, score_dst, h, negative_slope, m, num, den,
     def leaky(v):
         return jnp.where(v >= 0, v, negative_slope * v)
 
+    if getattr(aux, "diag_blocks", None) is not None:
+        # Block-DIAGONAL attention tiles: out rows == block rows, so the
+        # whole contribution is one batched einsum over CONTIGUOUS X/out
+        # slabs — no gather, no scatter, no segment op, no Pallas walk
+        # (the attention analog of ops/pallas/diag_spmm.py's insight).
+        # XLA fuses score construction + exp into the matmul operands.
+        b = aux.diag_blocks.shape[-1]
+        nb = n // b
+        maskd = aux.diag_blocks > 0                  # static adjacency
+        sd = score_dst.reshape(nb, b)
+        ss = score_src.reshape(nb, b)
+        e_d = jnp.where(maskd, leaky(sd[:, :, None] + ss[:, None, :]), _NEG)
+        pe_d = jnp.exp(e_d - m.reshape(nb, b)[:, :, None])
+        pe_d = jnp.where(maskd, pe_d, 0.0)
+        xb = h.reshape(nb, b, f)
+        num = num + jnp.einsum("bij,bjf->bif", pe_d.astype(h.dtype),
+                               xb).reshape(n, f).astype(num.dtype)
+        den = den + jnp.sum(pe_d, axis=2).reshape(n)
+
     if fused:
         from fitgnn_tpu.ops.pallas.att_bsr import att_tiles
         num_t, den_t = att_tiles(bsr.block, float(negative_slope),

@@ -296,9 +296,10 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
         sr = s[remote]
         orm = owner[remote]
         slot = np.zeros(len(sr), dtype=np.int64)
-        for i, (sv, pv) in enumerate(zip(sr, orm)):
-            slot[i] = pv * C + np.searchsorted(shard_clusters[pv],
-                                               cluster_of[sv])
+        for pv in np.unique(orm):          # vectorized per owner shard
+            sel = orm == pv
+            slot[sel] = pv * C + np.searchsorted(shard_clusters[pv],
+                                                 cluster_of[sr[sel]])
         sus_.append(slot)
         sur_.append(r[remote])
         suw_.append(w[remote])

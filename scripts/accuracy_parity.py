@@ -67,6 +67,12 @@ def main():
         cli(["train", *common, "--train_fitgnn", "--exp_setup", setup,
              "--extra_node"])
         results[setup + " (extra_node halo)"] = parse_last_acc(False)
+    for setup in ("Gs_train_2_Gs_infer", "Gc_train_2_Gs_train"):
+        # cluster_node: coarse-cluster summary nodes + inter-cluster edges
+        # (reference utils.py:191-267 — one of its three headline node modes)
+        cli(["train", *common, "--train_fitgnn", "--exp_setup", setup,
+             "--cluster_node"])
+        results[setup + " (cluster_node)"] = parse_last_acc(False)
     print(f"\n=== accuracy parity (SBM n={args.nodes}, {args.runs} runs, "
           f"{time.time()-t0:.0f}s) ===")
     for k, v in results.items():

@@ -137,6 +137,7 @@ def main():
         dense = counts[invt] >= thresh
         ondiag = dense & (r64 // RBLOCK == s64 // RBLOCK)
         m = dense & ~ondiag
+        k_real = len(np.unique(tile[m]))   # tiles BEFORE group/row padding
         bsr = build_bsr(s64[m], r64[m], w[m], g.num_nodes_padded,
                         block=RBLOCK,
                         tile_dtype=jnp.bfloat16, with_transpose=False,
@@ -164,8 +165,8 @@ def main():
 
     K = bsr.nnz_blocks
     B_ = bsr.block
-    if B_ != 128:
-        K_useful = K          # the rebuilt tile set IS the measured set
+    if B_ != 128 or GROUP > 1:
+        K_useful = k_real     # real tiles of the rebuilt set (no padding)
     nrows = len(np.unique(np.asarray(bsr.rows)))
     per = timed(run_bsr, h)
     f_bytes = K * (B_ * B_ * 2 + B_ * F * 2) + nrows * B_ * F * 2

@@ -1,0 +1,144 @@
+"""Analytic scaling-efficiency projection for ogbn-products on TPU v5e.
+
+The ≥75 % edges/s scaling target (BASELINE.json: 1 chip → 1 host → ≥2
+hosts) cannot be MEASURED on this rig (one real chip — environment); this
+script is the honest substitute: it combines
+
+* MEASURED per-device collective bytes — real halo/hier exchange plans
+  built at ogbn-products scale (2.45 M nodes, ~31 M directed edges, the
+  ``products_proxy`` synthetic with the reference's community structure,
+  ``main.py:247-267``), community-placed with the C++ Leiden core;
+* the MEASURED single-chip compute rate (bench.py headline, edges/s/chip);
+* PUBLIC v5e link bandwidths (assumptions printed with the result).
+
+Model per training step (2-layer GNN, hidden H, bf16 activations):
+  t_compute(P) = E_local_max / rate_1chip          (LPT-balanced shards)
+  t_ici(P)     = halo_bytes_max_per_dev · layers · dirs / BW_ici
+  t_dcn(H)     = summary_bytes_per_host · layers · dirs / BW_dcn
+  overlapped:   t_step = max(t_compute, t_ici, t_dcn)   (the hier design
+                issues collectives first and aggregates interior edges
+                while they fly — parallel/hierarchical.py)
+  serial bound: t_step = t_compute + t_ici + t_dcn
+  efficiency(P) = t_1 / (P · t_step(P))   [edges/s scaling efficiency]
+
+Usage: python scripts/scaling_projection.py [--nodes 2450000]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# --- stated assumptions ----------------------------------------------------
+RATE_1CHIP = 97.1e6      # edges/s/chip — bench.py headline (BENCH_r02/r03)
+BW_ICI = 45e9            # bytes/s per ICI link direction (v5e: 4 links/chip,
+                         # 2-D torus; we conservatively credit ONE link per
+                         # exchange direction)
+BW_DCN = 25e9            # bytes/s per host NIC (200 Gbps class)
+LAYERS = 2               # conv layers per step
+DIRS = 2                 # forward + backward each move the boundary rows
+BYTES_PER_ELT = 2        # bf16 activations (production config)
+
+
+def build_products_like(n, degree, seed=0):
+    rng = np.random.default_rng(seed)
+    e = n * degree // 2
+    rcv = rng.integers(0, n, e)
+    comm = rcv // 512
+    snd = np.where(rng.random(e) < 0.85,
+                   np.minimum(comm * 512 + rng.integers(0, 512, e), n - 1),
+                   rng.integers(0, n, e))
+    keep = snd != rcv
+    return snd[keep].astype(np.int64), rcv[keep].astype(np.int64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=2_450_000)
+    ap.add_argument("--degree", type=int, default=25)
+    ap.add_argument("--hidden", type=int, default=512)
+    args = ap.parse_args()
+    n, h = args.nodes, args.hidden
+
+    from fitgnn_tpu.parallel.halo import build_halo_plan
+    from fitgnn_tpu.parallel.hierarchical import build_hier_plan
+    from fitgnn_tpu.parallel.multihost import placement_by_community
+    from fitgnn_tpu.parallel.shard import shard_graph
+    from fitgnn_tpu.partition.community import leiden_communities
+
+    t0 = time.time()
+    snd, rcv = build_products_like(n, args.degree)
+    e_total = 2 * len(snd)       # symmetrized directed edges
+    labels = leiden_communities(snd, rcv, n, seed=0)
+    print(f"graph: {n} nodes, {e_total} directed edges; "
+          f"{labels.max()+1} communities ({time.time()-t0:.0f}s)")
+
+    x = np.zeros((n, 1), dtype=np.float32)   # features irrelevant to plans
+    y = np.zeros(n, dtype=np.int32)
+
+    rows = []
+    for H, D in ((1, 1), (1, 2), (1, 4), (1, 8), (2, 8), (4, 8)):
+        P = H * D
+        order, _ = placement_by_community(labels, P)
+        sg = shard_graph(x, snd, rcv, y, P, order=order)
+        e_loc = (np.asarray(sg.edge_weight) != 0).sum(axis=1)
+        t_comp = float(e_loc.max()) / RATE_1CHIP
+        t_ici = t_dcn = 0.0
+        ici_mb = dcn_mb = 0.0
+        if P > 1 and H == 1:
+            plan = build_halo_plan(np.asarray(sg.senders),
+                                   np.asarray(sg.receivers),
+                                   np.asarray(sg.edge_weight), P,
+                                   sg.nodes_per_shard)
+            # worst device's received rows per layer
+            recv_rows = np.asarray(plan.send_mask).sum(axis=(0, 2))
+            ici_bytes = float(recv_rows.max()) * h * BYTES_PER_ELT
+            ici_mb = ici_bytes / 1e6
+            t_ici = ici_bytes * LAYERS * DIRS / BW_ICI
+        elif H > 1:
+            n_loc = sg.nodes_per_shard
+            lab = np.concatenate([labels[order],
+                                  np.full(sg.num_nodes_global - n,
+                                          labels.max() + 1, np.int64)])
+            pair = ((np.arange(sg.num_nodes_global) // n_loc)
+                    * (int(lab.max()) + 2) + lab)
+            _, cluster_of = np.unique(pair, return_inverse=True)
+            plan = build_hier_plan(np.asarray(sg.senders),
+                                   np.asarray(sg.receivers),
+                                   np.asarray(sg.edge_weight), H, D, n_loc,
+                                   cluster_of, interior_hybrid=False)
+            recv_rows = np.asarray(plan.send_mask).sum(axis=(0, 2))
+            ici_bytes = float(recv_rows.max()) * h * BYTES_PER_ELT
+            ici_mb = ici_bytes / 1e6
+            t_ici = ici_bytes * LAYERS * DIRS / BW_ICI
+            # DCN: every host receives the other hosts' summary rows once
+            # per layer (all-gather over the host axis): (H-1)·D·C rows
+            C = plan.clusters_per_shard
+            dcn_bytes = (H - 1) * D * C * h * BYTES_PER_ELT
+            dcn_mb = dcn_bytes / 1e6
+            t_dcn = dcn_bytes * LAYERS * DIRS / BW_DCN
+        t_overlap = max(t_comp, t_ici, t_dcn)
+        t_serial = t_comp + t_ici + t_dcn
+        t1 = (e_total / RATE_1CHIP)
+        eff_o = t1 / (P * t_overlap)
+        eff_s = t1 / (P * t_serial)
+        rows.append(dict(hosts=H, chips=P, t_compute_ms=t_comp * 1e3,
+                         ici_mb_per_dev_layer=ici_mb,
+                         dcn_mb_per_host_layer=dcn_mb,
+                         t_ici_ms=t_ici * 1e3, t_dcn_ms=t_dcn * 1e3,
+                         eff_overlapped=eff_o, eff_serial=eff_s))
+        print(f"H={H} P={P:2d}: compute {t_comp*1e3:7.2f} ms | "
+              f"ICI {ici_mb:7.2f} MB/dev/layer = {t_ici*1e3:6.2f} ms | "
+              f"DCN {dcn_mb:7.2f} MB/host/layer = {t_dcn*1e3:6.2f} ms | "
+              f"eff {eff_o*100:5.1f}% overlapped / {eff_s*100:5.1f}% serial")
+
+    print("\nassumptions: rate_1chip=%.1fM edges/s (measured headline), "
+          "ICI %.0f GB/s/dir (1 of 4 v5e links credited), DCN %.0f GB/s"
+          "/host, bf16 rows, %d layers x %d directions"
+          % (RATE_1CHIP / 1e6, BW_ICI / 1e9, BW_DCN / 1e9, LAYERS, DIRS))
+    print(json.dumps({"projection": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,25 @@ def main():
         print(f"{dt.__name__:8s} scatter only         : {t*1e3:7.2f} ms "
               f"({t/E*1e9:5.1f} ns/edge)", flush=True)
 
+    # int8 straggler stream (VERDICT r2 #8): quantized activations with f32
+    # accumulation — tests whether cutting gathered-stream bytes below bf16
+    # buys anything, given the measured row-rate bound (bf16 gather is only
+    # ~1.16x faster than f32 at equal rows)
+    x8 = jnp.asarray((rng.standard_normal((N, F)) * 30).astype(np.int8))
+    s_d, r_d = jnp.asarray(s), jnp.asarray(r)
+    w_d = jnp.asarray(w)
+
+    @jax.jit
+    def fused_int8(w_, s_, r_, x8_):
+        y = x8_[s_].astype(jnp.float32) * w_[:, None]   # dequant on the fly
+        out = jax.ops.segment_sum(y, r_, num_segments=N,
+                                  indices_are_sorted=True)
+        return (x8_ + (1e-12 * jnp.sum(out)).astype(jnp.int8))
+
+    t = timed(fused_int8, 3, w_d, s_d, r_d, x8)
+    print(f"int8     fused gather+scatter : {t*1e3:7.2f} ms "
+          f"({t/E*1e9:5.1f} ns/edge)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -120,3 +120,33 @@ def test_gatconv_wide_features_sorted_branch():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_gat_diag_split_matches_per_edge():
+    """use_diag: block-diagonal attention tiles ride a pure-XLA batched
+    einsum (no gather/scatter/segment op) — outputs and grads must match
+    the per-edge path (round-3 GAT attack)."""
+    x, s, r, y = sbm_graph(num_nodes=640, num_classes=4, num_features=16,
+                           p_in=0.1, p_out=0.01, seed=7)
+    g_plain = build_graph(x, s, r, y=y, node_pad_to=128)
+    g_opt, order = build_optimized_graph(x, s, r, y=y, min_block_edges=8,
+                                         layer_name="GATConv",
+                                         use_diag=True, seed=0)
+    assert g_opt.aux.diag_blocks is not None
+    layer = GATConv(features=16)
+    params = layer.init(jax.random.PRNGKey(0), g_plain.x, g_plain)
+    out_plain = np.asarray(layer.apply(params, g_plain.x, g_plain))
+    out_opt = np.asarray(layer.apply(params, g_opt.x, g_opt))
+    np.testing.assert_allclose(out_opt[: len(order)], out_plain[order],
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(p, gg):
+        out = layer.apply(p, gg.x, gg)
+        return jnp.sum(out[: gg.n_node] ** 2)
+
+    g1 = jax.grad(loss)(params, g_plain)
+    g2 = jax.grad(loss)(params, g_opt)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
