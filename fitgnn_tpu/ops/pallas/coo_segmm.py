@@ -75,6 +75,11 @@ class SegMM:
                                #   (packed into one (8,128)-tileable block;
                                #   rows 2..7 are padding)
     num_nodes: int = flax.struct.field(pytree_node=False)
+    first_slot: jnp.ndarray = None  # (E,) int32 slot index of each
+                               #   forward edge's first occurrence in the
+                               #   padded slot stream (host-computed at
+                               #   build; drives the saved-y backward of
+                               #   ``segmm_weighted_spmm_den``)
     edge_ids: jnp.ndarray = None  # (E_pad,) int32 original edge index per
                                #   slot (padding slots repeat a real index
                                #   but carry weight 0) — lets callers remap
@@ -149,6 +154,11 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
         bids.extend([b] * n_ch)
 
     s_all = np.concatenate(s_chunks)
+    ei_all = np.concatenate(e_chunks)
+    e_total = int(ei_all.max()) + 1 if ei_all.size else 1
+    first_slot = np.zeros(e_total, dtype=np.int64)
+    vals, first = np.unique(ei_all, return_index=True)
+    first_slot[vals] = first
     n_chunks = len(bids)
     aux = np.zeros((n_chunks, 8, chunk), dtype=np.float32)
     aux[:, 0, :] = np.concatenate(r_chunks).reshape(n_chunks, chunk)
@@ -158,7 +168,8 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
         senders=jnp.asarray(s_all, dtype=jnp.int32),
         aux=jnp.asarray(aux),
         num_nodes=num_nodes_padded,
-        edge_ids=jnp.asarray(np.concatenate(e_chunks), dtype=jnp.int32),
+        first_slot=jnp.asarray(first_slot, dtype=jnp.int32),
+        edge_ids=jnp.asarray(ei_all, dtype=jnp.int32),
         group=group)
 
 
@@ -209,6 +220,116 @@ def _segmm_scatter(block_ids, aux, y, num_nodes, group=1, interpret=False):
         interpret=interpret,
     )(block_ids, aux, y)
     return out if n_out == num_nodes else out[:num_nodes]
+
+
+def _kernel_den(block_ids_ref, aux_ref, y_ref, o_ref, d_ref):
+    """Selector scatter that ALSO emits the per-row weight sums (= the GAT
+    softmax denominator: den[r] = Σ_e pes_e) as selector row-sums — one
+    extra VPU reduce per chunk, no separate scalar segment-sum pass."""
+    k = pl.program_id(0)
+    blk = block_ids_ref[k]
+    prev = block_ids_ref[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, blk != prev))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    rloc = aux_ref[0, 0].astype(jnp.int32)     # (CHUNK,)
+    w = aux_ref[0, 1]                          # (CHUNK,)
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (o_ref.shape[0], rloc.shape[0]), 0)
+    sel = jnp.where(rows == rloc[None, :], w[None, :], 0.0)
+    d_ref[:] += jnp.broadcast_to(jnp.sum(sel, axis=1, keepdims=True),
+                                 d_ref.shape).astype(d_ref.dtype)
+    y = y_ref[:]                               # (CHUNK, F)
+    if y.dtype == jnp.bfloat16:
+        sel = sel.astype(jnp.bfloat16)
+    o_ref[:] += jnp.dot(sel, y,
+                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "group", "interpret"))
+def _segmm_scatter_den(block_ids, aux, y, num_nodes, group=1,
+                       interpret=False):
+    """(num, den) = (scatter-add of y rows, per-row weight sums)."""
+    n_chunks, _, chunk = aux.shape
+    feat = y.shape[-1]
+    rows_per = BLOCK * group
+    n_out = -(-num_nodes // rows_per) * rows_per
+    out, den = pl.pallas_call(
+        _kernel_den,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 8, chunk), lambda k, bids: (k, 0, 0)),
+                pl.BlockSpec((chunk, feat), lambda k, bids: (k, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((rows_per, feat), lambda k, bids: (bids[k], 0)),
+                pl.BlockSpec((rows_per, 8), lambda k, bids: (bids[k], 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_out, feat), y.dtype),
+                   jax.ShapeDtypeStruct((n_out, 8), jnp.float32)],
+        interpret=interpret,
+    )(block_ids, aux, y)
+    if n_out != num_nodes:
+        out, den = out[:num_nodes], den[:num_nodes]
+    return out, den[:, 0]
+
+
+@jax.custom_vjp
+def segmm_weighted_spmm_den(m: SegMM, mt: SegMM, receivers: jnp.ndarray,
+                            w_edge: jnp.ndarray, x: jnp.ndarray) -> tuple:
+    """(num, den): num[r] = Σ_e w[e]·x[s_e], den[r] = Σ_e w[e] — the GAT
+    straggler numerator AND softmax denominator in ONE selector pass (the
+    denominator is the selector's row sums; round-2 VERDICT next-step #2).
+
+    Backward differs from ``segmm_weighted_spmm`` in two ways: the gathered
+    stream ``y`` is SAVED (no x re-gather), and dw folds the den cotangent
+    in node-locally (dw_e = ⟨g_num[r_e], y_e⟩ + g_den[r_e])."""
+    from fitgnn_tpu.ops.segment import take_rows
+    y = take_rows(x, m.senders)
+    num, den = _segmm_scatter_den(m.block_ids, _dyn_aux(m, w_edge), y,
+                                  m.num_nodes, group=m.group,
+                                  interpret=_use_interpret())
+    return num, den
+
+
+def _segmm_den_fwd(m, mt, receivers, w_edge, x):
+    from fitgnn_tpu.ops.segment import take_rows
+    y = take_rows(x, m.senders)
+    num, den = _segmm_scatter_den(m.block_ids, _dyn_aux(m, w_edge), y,
+                                  m.num_nodes, group=m.group,
+                                  interpret=_use_interpret())
+    return (num, den), (m, mt, receivers, w_edge, y)
+
+
+def _segmm_den_bwd(res, ct):
+    m, mt, receivers, w_edge, y = res
+    g_num, g_den = ct
+    from fitgnn_tpu.ops.segment import take_rows
+    yt = take_rows(g_num, mt.senders)
+    dx = _segmm_scatter(mt.block_ids, _dyn_aux(mt, w_edge), yt,
+                        mt.num_nodes, group=mt.group,
+                        interpret=_use_interpret())
+    # y is in SLOT order (padded selector slots); m.first_slot maps each
+    # forward edge to its real slot, so gathering y there reproduces
+    # x[senders] in edge order WITHOUT re-reading x
+    gr = take_rows(g_num, receivers, sorted_idx=True).astype(jnp.float32)
+    ys = take_rows(y, m.first_slot).astype(jnp.float32)
+    dw = (jnp.sum(gr * ys, axis=-1)
+          + take_rows(g_den, receivers,
+                      sorted_idx=True).astype(jnp.float32)
+          ).astype(w_edge.dtype)
+    return None, None, None, dw, dx
+
+
+
+segmm_weighted_spmm_den.defvjp(_segmm_den_fwd, _segmm_den_bwd)
 
 
 def _use_interpret() -> bool:

@@ -41,6 +41,13 @@ _SORTED_NUM = os.environ.get("FITGNN_GAT_SORTED_NUM", "0") == "1"
 # (bench GAT: 70.6 ms segmm vs 63.2 ms without); it stays on only for
 # genuinely narrow aggregations (the hidden→classes layer, f≈40).
 _SEGMM_MAX_F = int(os.environ.get("FITGNN_GAT_SEGMM_MAXF", "64"))
+# Denominator-in-selector (round-2 VERDICT next-step #2): route the GAT
+# straggler numerator AND softmax denominator through ONE augmented MXU
+# selector pass (den = selector row-sums) at ANY width, with a saved-y
+# backward (no x re-gather).  Replaces both big row ops (the (E, F+1) aug
+# scatter forward and the unsorted dh scatter backward) with selector
+# matmuls.
+_SEGMM_DEN = os.environ.get("FITGNN_GAT_SEGMM_DEN", "0") == "1"
 # Fused tile-attention kernels (ops/pallas/att_bsr.py): recompute tile
 # scores in-kernel from the per-node score vectors instead of
 # materializing the (K,b,b) e/pe tensors (~143 MB each at bench scale)
@@ -270,10 +277,12 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     # ---- straggler per-edge scores (receiver-sorted lists) --------------
     sm = aux.weights > 0
     sorted_bwd = getattr(aux, "t_edge_perm", None) is not None
+    use_segmm_den = (_SEGMM_DEN and aux.segmm is not None
+                     and aux.segmm.edge_ids is not None)
     use_segmm = (aux.segmm is not None and aux.segmm.edge_ids is not None
-                 and f <= _SEGMM_MAX_F)
+                 and f <= _SEGMM_MAX_F and not use_segmm_den)
     use_fused_bwd = (_FUSED_BWD and _GLOBAL_MAX and att_src is not None
-                     and sorted_bwd and not use_segmm
+                     and sorted_bwd and not use_segmm and not use_segmm_den
                      and not _SORTED_NUM and not _SORTED_SRC
                      and not _FUSED_TILES)
     if use_fused_bwd:
@@ -289,8 +298,8 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         return _finish_tiles(aux, score_src, score_dst, h, negative_slope,
                              m, num, den)
     y = None
-    if att_src is not None and not use_segmm and not (sorted_bwd
-                                                      and _SORTED_NUM):
+    if (att_src is not None and not use_segmm and not use_segmm_den
+            and not (sorted_bwd and _SORTED_NUM)):
         y = _take_rows(h, aux.senders)              # reused by the numerator
         ssrc_e = jnp.einsum("ef,f->e", y.astype(jnp.float32),
                             att_src.astype(jnp.float32))
@@ -355,7 +364,11 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
 
     # ---- straggler numerator/denominator --------------------------------
     pes = jnp.exp(es - m_e) * sm
-    if use_segmm:
+    if use_segmm_den:
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm_den
+        num, den = segmm_weighted_spmm_den(aux.segmm, aux.t_segmm,
+                                           aux.receivers, pes, h)
+    elif use_segmm:
         # MXU selector-scatter with the softmax numerators as dynamic
         # per-edge selector weights (same bf16 rounding of α as the
         # segment_sum path's ``astype(h.dtype)``).  Gated to narrow

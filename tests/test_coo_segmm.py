@@ -211,3 +211,79 @@ class TestWeightedSegMM:
         assert g.aux.segmm is not None
         assert g.aux.segmm.edge_ids is not None
         assert g.aux.t_segmm.edge_ids is not None
+
+
+class TestSegmmDen:
+    """Denominator-in-selector: (num, den) from one augmented selector pass
+    with a saved-y backward (round-2 VERDICT next-step #2)."""
+
+    def test_num_den_and_grads_match_reference(self):
+        import jax
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm_den
+        rng = np.random.default_rng(11)
+        n, e, f = 384, 800, 16
+        s = rng.integers(0, n, e, dtype=np.int64)
+        r = np.sort(rng.integers(0, n, e, dtype=np.int64))
+        unit = np.ones(e, np.float32)
+        hyb = build_hybrid(s, r, unit, n, min_block_edges=10 ** 9,
+                           use_segmm=True, semantics="att_unit",
+                           segmm_group=2)
+        w_dyn = jnp.asarray(rng.random(len(hyb.senders)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+        def loss_k(w, xx):
+            num, den = segmm_weighted_spmm_den(hyb.segmm, hyb.t_segmm,
+                                               hyb.receivers, w, xx)
+            return jnp.sum(num ** 2) + jnp.sum(jnp.cos(den))
+
+        def loss_ref(w, xx):
+            num = jax.ops.segment_sum(xx[hyb.senders] * w[:, None],
+                                      hyb.receivers, num_segments=n,
+                                      indices_are_sorted=True)
+            den = jax.ops.segment_sum(w, hyb.receivers, num_segments=n,
+                                      indices_are_sorted=True)
+            return jnp.sum(num ** 2) + jnp.sum(jnp.cos(den))
+
+        np.testing.assert_allclose(np.asarray(loss_k(w_dyn, x)),
+                                   np.asarray(loss_ref(w_dyn, x)), rtol=1e-4)
+        dw_k, dx_k = jax.grad(loss_k, argnums=(0, 1))(w_dyn, x)
+        dw_r, dx_r = jax.grad(loss_ref, argnums=(0, 1))(w_dyn, x)
+        np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gat_layer_with_segmm_den(self, monkeypatch):
+        """GATConv tile path with FITGNN_GAT_SEGMM_DEN=1 matches the
+        per-edge reference (outputs + grads)."""
+        import jax
+        from fitgnn_tpu import models
+        from fitgnn_tpu.data.synthetic import sbm_graph
+        from fitgnn_tpu.graph import build_graph
+        from fitgnn_tpu.graph.optimize import build_optimized_graph
+        from fitgnn_tpu.models.layers import GATConv
+        from fitgnn_tpu.ops import tile_gat
+        monkeypatch.setattr(tile_gat, "_SEGMM_DEN", True)
+        x, s, r, y = sbm_graph(num_nodes=640, num_classes=4,
+                               num_features=16, p_in=0.1, p_out=0.01, seed=7)
+        g_plain = build_graph(x, s, r, y=y, node_pad_to=128)
+        g_opt, order = build_optimized_graph(x, s, r, y=y,
+                                             min_block_edges=8,
+                                             layer_name="GATConv", seed=0)
+        layer = GATConv(features=16)
+        params = layer.init(jax.random.PRNGKey(0), g_plain.x, g_plain)
+        out_plain = np.asarray(layer.apply(params, g_plain.x, g_plain))
+        out_opt = np.asarray(layer.apply(params, g_opt.x, g_opt))
+        np.testing.assert_allclose(out_opt[: len(order)], out_plain[order],
+                                   rtol=2e-4, atol=2e-5)
+
+        def loss(p, gg):
+            out = layer.apply(p, gg.x, gg)
+            return jnp.sum(out[: gg.n_node] ** 2)
+
+        g1 = jax.grad(loss)(params, g_plain)
+        g2 = jax.grad(loss)(params, g_opt)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
