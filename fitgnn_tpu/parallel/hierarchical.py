@@ -139,7 +139,7 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
         return b.replace(blocks=jnp.asarray(blocks), rows=jnp.asarray(rows),
                          cols=jnp.asarray(cols))
 
-    def pad_segmm(m, nc):
+    def pad_segmm(m, nc, ne_real):
         chunk = m.aux.shape[-1]
         return m.replace(
             block_ids=jnp.asarray(_pad_tail(np.asarray(m.block_ids), nc,
@@ -147,6 +147,8 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
             aux=jnp.asarray(_pad_tail(np.asarray(m.aux), nc)),
             senders=jnp.asarray(_pad_tail(np.asarray(m.senders),
                                           nc * chunk)),
+            first_slot=jnp.asarray(_pad_tail(np.asarray(m.first_slot),
+                                             ne_real)),
             edge_ids=jnp.asarray(_pad_tail(np.asarray(m.edge_ids),
                                            nc * chunk)))
 
@@ -155,6 +157,8 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
     ncf = max(int(h.segmm.num_chunks) for h in hybs)
     nct = max(int(h.t_segmm.num_chunks) for h in hybs)
     ne = max(int(h.num_coo_edges) for h in hybs)
+    nfs = max(int(h.segmm.first_slot.shape[0]) for h in hybs)
+    nfst = max(int(h.t_segmm.first_slot.shape[0]) for h in hybs)
 
     padded = []
     for h in hybs:
@@ -162,8 +166,8 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
             transpose=pad_bsr(h.bsr.transpose, kt))
         padded.append(h.replace(
             bsr=bsr,
-            segmm=pad_segmm(h.segmm, ncf),
-            t_segmm=pad_segmm(h.t_segmm, nct),
+            segmm=pad_segmm(h.segmm, ncf, nfs),
+            t_segmm=pad_segmm(h.t_segmm, nct, nfst),
             senders=jnp.asarray(_pad_tail(np.asarray(h.senders), ne,
                                           fill_last=True)),
             receivers=jnp.asarray(_pad_tail(np.asarray(h.receivers), ne,

@@ -183,3 +183,38 @@ class TestHierTrainStep:
                 losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestUnevenShardHybrids:
+    def test_plan_builds_with_skewed_shard_edge_counts(self):
+        """Per-shard hybrid structures have different real sizes (edge
+        counts, selector slots, first_slot lengths) — stacking must pad
+        EVERY leaf to uniform shapes (round-3 regression: a new SegMM
+        field that skipped padding broke the products-style dryrun)."""
+        rng = np.random.default_rng(3)
+        n = 256
+        # heavily skewed: most edges land in the first shard's rows
+        r = np.where(rng.random(1200) < 0.8,
+                     rng.integers(0, 32, 1200),
+                     rng.integers(0, n, 1200)).astype(np.int64)
+        s = rng.integers(0, n, 1200).astype(np.int64)
+        keep = s != r
+        x = rng.standard_normal((n, 8)).astype(np.float32)
+        y = rng.integers(0, 3, n).astype(np.int32)
+        sg = shard_graph(x, s[keep], r[keep], y, 4)
+        cluster_of = np.arange(sg.num_nodes_global) // 16
+        plan = build_hier_plan(
+            np.asarray(sg.senders), np.asarray(sg.receivers),
+            np.asarray(sg.edge_weight), 2, 2, sg.nodes_per_shard,
+            cluster_of, min_block_edges=4)
+        assert plan.int_hybrid is not None
+        # and the aggregation still matches the plain-edge-list path
+        mesh = make_hier_mesh(2, 2)
+        h = np.asarray(sg.x).reshape(sg.num_nodes_global, -1)
+        plan_p = build_hier_plan(
+            np.asarray(sg.senders), np.asarray(sg.receivers),
+            np.asarray(sg.edge_weight), 2, 2, sg.nodes_per_shard,
+            cluster_of, interior_hybrid=False)
+        out_h = _run_hier_aggregate(mesh, plan, sg, h)
+        out_p = _run_hier_aggregate(mesh, plan_p, sg, h)
+        np.testing.assert_allclose(out_h, out_p, rtol=1e-5, atol=1e-5)
