@@ -128,6 +128,7 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
     all_groups = -(-num_nodes_padded // rows_per)
 
     s_chunks, r_chunks, w_chunks, e_chunks, bids = [], [], [], [], []
+    filler_chunks = []
     for b in range(all_groups):
         if b in covered:
             lo, hi = bounds[covered[b]], bounds[covered[b] + 1]
@@ -141,24 +142,34 @@ def build_segmm(senders: np.ndarray, receivers: np.ndarray,
             w = np.concatenate([weight[lo:hi], np.zeros(pad, np.float32)])
             ei = np.concatenate([edge_perm[lo:hi],
                                  np.full(pad, edge_perm[hi - 1])])
+            fill = np.zeros(n_ch * chunk, dtype=bool)
         else:   # zero-weight filler chunk: writes the group's zeros
             s = np.zeros(chunk, np.int64)
             r = np.zeros(chunk, np.int64)
             w = np.zeros(chunk, np.float32)
             ei = np.zeros(chunk, np.int64)
+            fill = np.ones(chunk, dtype=bool)
             n_ch = 1
         s_chunks.append(s)
         r_chunks.append(r)
         w_chunks.append(w)
         e_chunks.append(ei)
+        filler_chunks.append(fill)
         bids.extend([b] * n_ch)
 
     s_all = np.concatenate(s_chunks)
     ei_all = np.concatenate(e_chunks)
     e_total = int(ei_all.max()) + 1 if ei_all.size else 1
     first_slot = np.zeros(e_total, dtype=np.int64)
-    vals, first = np.unique(ei_all, return_index=True)
-    first_slot[vals] = first
+    # first_slot must map each edge to a REAL slot: filler chunks carry
+    # edge_ids == 0, so an uncovered block-group earlier in the stream
+    # would otherwise claim edge 0's slot (sender 0 instead of senders[0])
+    # and poison dw[0] in the _den backward.  Pad dups inside covered
+    # chunks are safe — they duplicate the SAME chunk's last edge, whose
+    # real slot always precedes them.
+    real_idx = np.nonzero(~np.concatenate(filler_chunks))[0]
+    vals, first = np.unique(ei_all[real_idx], return_index=True)
+    first_slot[vals] = real_idx[first]
     n_chunks = len(bids)
     aux = np.zeros((n_chunks, 8, chunk), dtype=np.float32)
     aux[:, 0, :] = np.concatenate(r_chunks).reshape(n_chunks, chunk)

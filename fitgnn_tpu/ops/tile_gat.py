@@ -359,6 +359,20 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
                                           num_segments=nb,
                                           indices_are_sorted=True)
             m = jnp.maximum(m, m_tiles.reshape(n))
+        if getattr(aux, "diag_blocks", None) is not None:
+            # Diagonal tiles carry in-edges too: a dense-community interior
+            # node may have ALL its edges here, so m must fold in the
+            # diag-tile row maxima or _finish_tiles exponentiates
+            # e_d - (-1e30) = inf for its real edges (same hazard the BSR
+            # branch above guards with m_tiles).
+            bd = aux.diag_blocks.shape[-1]
+            nbd = n // bd
+            maskd = aux.diag_blocks > 0
+            sdd = score_dst.reshape(nbd, bd)
+            ssd = score_src.reshape(nbd, bd)
+            e_d = jnp.where(maskd,
+                            leaky(sdd[:, :, None] + ssd[:, None, :]), _NEG)
+            m = jnp.maximum(m, jnp.max(e_d, axis=2).reshape(n))
         m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
         m_e = _take_rows(m, aux.receivers, sorted_idx=True)
 

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from fitgnn_tpu.graph.build import gcn_normalize, _round_up
+from fitgnn_tpu.graph.optimize import _LAYER_SEMANTICS, _operator_weights
 
 
 #: aggregation-weight semantics per conv layer (mirrors the ``g.aux``
@@ -26,12 +27,7 @@ from fitgnn_tpu.graph.build import gcn_normalize, _round_up
 #: GCN's symmetric normalization, SAGE's neighbor mean, GIN's neighbor sum,
 #: GAT's unit mask (softmax weights are computed on device) — is baked into
 #: the sharded edge weights at build time.
-LAYER_SEMANTICS = {
-    "GCNConv": "gcn_norm",
-    "SAGEConv": "mean_nonself",
-    "GINConv": "sum_nonself",
-    "GATConv": "att_unit",
-}
+LAYER_SEMANTICS = dict(_LAYER_SEMANTICS)
 
 
 class ShardedGraph(NamedTuple):
@@ -125,9 +121,8 @@ def shard_graph(
     if semantics == "mean_nonself":
         # neighbor mean = segment-sum with 1/indeg weights (non-self edges
         # only; isolated nodes aggregate to 0, matching segment_mean's
-        # masked fallback in models.layers.SAGEConv)
-        indeg = np.bincount(r, minlength=n).astype(np.float32)
-        w = 1.0 / np.maximum(indeg[r], 1.0)
+        # masked fallback in models.layers.SAGEConv) — one rule, one home
+        w = _operator_weights(s, r, w, n, "mean_nonself")
 
     return _partition_blocks(x, s, r, w, y, num_shards, train_mask, val_mask,
                              test_mask, edge_pad_to)
@@ -171,6 +166,23 @@ def shard_prebuilt_graph(
                      else np.asarray(test_mask)[order])
     return _partition_blocks(x, s, r, w, y, num_shards, train_mask, val_mask,
                              test_mask, edge_pad_to)
+
+
+def shard_node_array(a: np.ndarray, num_shards: int, nodes_per_shard: int,
+                     *, order: Optional[np.ndarray] = None,
+                     fill=0) -> jnp.ndarray:
+    """Pad + reshape a per-node array to ``(num_shards, nodes_per_shard, …)``
+    — the same node placement ``_partition_blocks`` applies, for arrays that
+    travel alongside an existing :class:`ShardedGraph` (e.g. val labels)
+    without re-sharding the whole graph."""
+    a = np.asarray(a)
+    if order is not None:
+        a = a[order]
+    n_pad = num_shards * nodes_per_shard
+    out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
+    out[:len(a)] = a
+    return jnp.asarray(out.reshape((num_shards, nodes_per_shard)
+                                   + a.shape[1:]))
 
 
 def _partition_blocks(x, s, r, w, y, num_shards, train_mask, val_mask,

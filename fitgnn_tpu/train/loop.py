@@ -169,8 +169,10 @@ def _make_hier_gc_steps(cfg, coarse):
     from fitgnn_tpu.parallel import (HierNodeModel, build_hier_plan,
                                      make_hier_eval_step, make_hier_mesh,
                                      make_hier_train_step)
+    from fitgnn_tpu.graph.optimize import _LAYER_SEMANTICS, _operator_weights
     from fitgnn_tpu.parallel.multihost import placement_by_community
-    from fitgnn_tpu.parallel.shard import shard_prebuilt_graph
+    from fitgnn_tpu.parallel.shard import (shard_node_array,
+                                           shard_prebuilt_graph)
     from fitgnn_tpu.partition.community import leiden_communities
 
     if cfg.task != "classification":
@@ -188,19 +190,12 @@ def _make_hier_gc_steps(cfg, coarse):
     real = np.arange(len(s)) < int(g.n_edge)
     nonself = real & (s != r)
     ln = cfg.layer_name
-    if ln == "GCNConv":
-        wl = np.where(real, w, 0.0).astype(np.float32)
-    elif ln == "SAGEConv":
-        n_pad0 = int(g.num_nodes_padded)
-        indeg = np.bincount(r[nonself], minlength=n_pad0).astype(np.float32)
-        wl = np.where(nonself, 1.0 / np.maximum(indeg[r], 1.0),
-                      0.0).astype(np.float32)
-    elif ln == "GINConv":
-        wl = nonself.astype(np.float32)
-    elif ln == "GATConv":
-        wl = real.astype(np.float32)
-    else:
+    if ln not in _LAYER_SEMANTICS:
         raise ValueError(f"unknown layer {ln!r} for the distributed Gc phase")
+    # padding edges are weight-0 self-loops on the pad node (graph.build),
+    # exactly the convention _operator_weights assumes — one rule, one home
+    wl = _operator_weights(s, r, w, int(g.num_nodes_padded),
+                           _LAYER_SEMANTICS[ln])
 
     x = np.asarray(g.x)
     yt, yv = np.asarray(coarse.y_train), np.asarray(coarse.y_val)
@@ -210,8 +205,9 @@ def _make_hier_gc_steps(cfg, coarse):
     order, _ = placement_by_community(labels, P_)
     sg = shard_prebuilt_graph(x, s, r, wl, yt, P_, train_mask=tm,
                               val_mask=vm, order=order)
-    sg_v = shard_prebuilt_graph(x, s, r, wl, yv, P_, order=order)
     n_loc, n_pad = sg.nodes_per_shard, sg.num_nodes_global
+    # val labels ride the SAME node placement as sg — no second ShardedGraph
+    yv_sh = shard_node_array(yv, P_, n_loc, order=order)
     lab_ordered = np.concatenate(
         [labels[order], np.full(n_pad - len(order), labels.max() + 1,
                                 dtype=np.int64)])
@@ -233,7 +229,7 @@ def _make_hier_gc_steps(cfg, coarse):
 
     def val_fn(state):
         with mesh:
-            return eval_step(state, sg.x, sg_v.y, sg.val_mask, plan)
+            return eval_step(state, sg.x, yv_sh, sg.val_mask, plan)
 
     return train_fn, val_fn
 

@@ -78,11 +78,18 @@ def main():
     y = np.zeros(n, dtype=np.int32)
 
     rows = []
+    e_proc_1 = None     # processed edges (symmetrized+dedup+self-loops) at P=1
     for H, D in ((1, 1), (1, 2), (1, 4), (1, 8), (2, 8), (4, 8)):
         P = H * D
         order, _ = placement_by_community(labels, P)
         sg = shard_graph(x, snd, rcv, y, P, order=order)
         e_loc = (np.asarray(sg.edge_weight) != 0).sum(axis=1)
+        if e_proc_1 is None:
+            # normalize t1 with the SAME edge count the per-shard compute
+            # term uses (shard_graph symmetrizes, dedupes and adds self
+            # loops), so eff(P=1) is exactly 1.0 — normalizing with the
+            # raw pre-dedup e_total biased every point by ~2-4 %.
+            e_proc_1 = float(e_loc.sum())
         t_comp = float(e_loc.max()) / RATE_1CHIP
         t_ici = t_dcn = 0.0
         ici_mb = dcn_mb = 0.0
@@ -120,7 +127,7 @@ def main():
             t_dcn = dcn_bytes * LAYERS * DIRS / BW_DCN
         t_overlap = max(t_comp, t_ici, t_dcn)
         t_serial = t_comp + t_ici + t_dcn
-        t1 = (e_total / RATE_1CHIP)
+        t1 = (e_proc_1 / RATE_1CHIP)
         eff_o = t1 / (P * t_overlap)
         eff_s = t1 / (P * t_serial)
         rows.append(dict(hosts=H, chips=P, t_compute_ms=t_comp * 1e3,

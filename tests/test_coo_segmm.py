@@ -287,3 +287,64 @@ class TestSegmmDen:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4)
+
+
+class TestFillerSlots:
+    """Uncovered output block-groups emit zero-weight filler chunks with
+    edge_ids == 0; first_slot must never point at them (review round-3)."""
+
+    def _uncovered_group0(self, seed=3):
+        # every receiver >= 128 → block-group 0 (group=1) is pure filler,
+        # and its chunk precedes all real slots in the stream
+        rng = np.random.default_rng(seed)
+        n, e = 256, 40
+        s = rng.integers(1, n, e, dtype=np.int64)     # senders[0] != 0
+        r = np.sort(rng.integers(128, n, e, dtype=np.int64))
+        w = np.ones(e, np.float32)
+        return n, e, s, r, w
+
+    def test_first_slot_points_at_real_slots(self):
+        n, e, s, r, w = self._uncovered_group0()
+        m = build_segmm(s, r, w, n, group=1)
+        fs = np.asarray(m.first_slot)
+        s_all = np.asarray(m.senders)
+        # each edge's first_slot must hold that edge's OWN sender row —
+        # before the fix fs[0] landed on the group-0 filler (sender 0)
+        np.testing.assert_array_equal(s_all[fs[:e]], s)
+
+    def test_den_backward_dw_with_uncovered_group(self):
+        from fitgnn_tpu.ops.pallas.coo_segmm import segmm_weighted_spmm_den
+        n, e, s, r, w = self._uncovered_group0(seed=5)
+        f = 8
+        rng = np.random.default_rng(11)
+        order_t = np.argsort(s, kind="stable")
+        m = build_segmm(s, r, w, n, group=1)
+        mt = build_segmm(r[order_t], s[order_t], w[order_t], n, group=1,
+                         edge_perm=order_t)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        wd = jnp.asarray(rng.random(e).astype(np.float32))
+        rj = jnp.asarray(r, dtype=jnp.int32)
+        sj = jnp.asarray(s, dtype=jnp.int32)
+
+        def loss_k(wv, xx):
+            num, den = segmm_weighted_spmm_den(m, mt, rj, wv, xx)
+            return jnp.sum(num ** 2) + jnp.sum(den ** 2)
+
+        def loss_ref(wv, xx):
+            num = jax.ops.segment_sum(xx[sj] * wv[:, None], rj,
+                                      num_segments=n,
+                                      indices_are_sorted=True)
+            den = jax.ops.segment_sum(wv, rj, num_segments=n,
+                                      indices_are_sorted=True)
+            return jnp.sum(num ** 2) + jnp.sum(den ** 2)
+
+        np.testing.assert_allclose(np.asarray(loss_k(wd, x)),
+                                   np.asarray(loss_ref(wd, x)),
+                                   rtol=1e-5)
+        dw_k, dx_k = jax.grad(loss_k, argnums=(0, 1))(wd, x)
+        dw_r, dx_r = jax.grad(loss_ref, argnums=(0, 1))(wd, x)
+        # dw[0] was silently wrong whenever senders[0] != 0 pre-fix
+        np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_r),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                                   rtol=1e-4, atol=1e-5)

@@ -150,3 +150,53 @@ def test_gat_diag_split_matches_per_edge():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_gat_diag_split_exact_max_all_diag_edges(monkeypatch):
+    """FITGNN_GAT_GLOBAL_MAX=0 (exact segment-max stabilizer) with use_diag:
+    a node whose in-edges ALL sit in its diagonal tile has no straggler and
+    no BSR row, so m must fold in the diag-tile row maxima — pre-fix m was
+    -1e30 and exp(e_d - m) = inf poisoned the output (review round-3)."""
+    from fitgnn_tpu.ops import tile_gat
+    monkeypatch.setattr(tile_gat, "_GLOBAL_MAX", False)
+
+    # two disjoint 128-node communities → after community ordering every
+    # edge is intra-block: zero stragglers, zero off-diagonal tiles
+    rng = np.random.default_rng(2)
+    n = 256
+    parts = []
+    for lo in (0, 128):
+        e = 600
+        s = rng.integers(lo, lo + 128, e, dtype=np.int64)
+        r = rng.integers(lo, lo + 128, e, dtype=np.int64)
+        keep = s != r
+        parts.append((s[keep], r[keep]))
+    s = np.concatenate([p[0] for p in parts])
+    r = np.concatenate([p[1] for p in parts])
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    y = (np.arange(n) // 128).astype(np.int32)
+
+    g_plain = build_graph(x, s, r, y=y, node_pad_to=128)
+    g_opt, order = build_optimized_graph(x, s, r, y=y, min_block_edges=8,
+                                         layer_name="GATConv",
+                                         use_diag=True, seed=0)
+    assert g_opt.aux.diag_blocks is not None
+    layer = GATConv(features=16)
+    params = layer.init(jax.random.PRNGKey(0), g_plain.x, g_plain)
+    out_plain = np.asarray(layer.apply(params, g_plain.x, g_plain))
+    out_opt = np.asarray(layer.apply(params, g_opt.x, g_opt))
+    assert np.isfinite(out_opt).all()
+    np.testing.assert_allclose(out_opt[: len(order)], out_plain[order],
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(p, gg):
+        out = layer.apply(p, gg.x, gg)
+        return jnp.sum(out[: gg.n_node] ** 2)
+
+    g1 = jax.grad(loss)(params, g_plain)
+    g2 = jax.grad(loss)(params, g_opt)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
