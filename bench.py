@@ -79,6 +79,11 @@ BENCH_BLOCK = int(os.environ.get("FITGNN_BENCH_BLOCK", "128"))
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
 BENCH_ABLATE = os.environ.get("FITGNN_BENCH_ABLATE", "")
+# GAT cluster-factorized attention (APPROXIMATE — a different model, the
+# reference's cluster_node idea): straggler edges attend to their sender's
+# cluster-summary row via a dense (N, C) MXU block. Value = nodes per
+# cluster (multiple of 128), 0 = off. GATConv only.
+BENCH_CLUSTER_ATT = int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
 
 # graph size is overridable for CPU smoke tests of bench code paths only —
 # the headline metric is defined at the default (arxiv-scale) size
@@ -143,7 +148,10 @@ def main():
     senders, receivers = inv[senders], inv[receivers]
 
     g = build_graph(x, senders.astype(np.int32), receivers.astype(np.int32),
-                    y=y, train_mask=train, node_pad_to=BENCH_BLOCK)
+                    y=y, train_mask=train,
+                    # cluster summaries reduce over contiguous equal-size
+                    # node groups: pad the node space to a whole cluster
+                    node_pad_to=BENCH_CLUSTER_ATT or BENCH_BLOCK)
     num_edges = int(g.n_edge)
     import jax.numpy as _jnp
     tile_dtype = _jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
@@ -161,11 +169,17 @@ def main():
                        use_rowwalk=BENCH_ROWWALK,
                        tile_group=BENCH_TILE_GROUP,
                        use_einsum_tiles=BENCH_EINSUM_TILES,
-                       semantics=semantics)
+                       semantics=semantics,
+                       cluster_att=BENCH_CLUSTER_ATT,
+                       real_nodes=NUM_NODES)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     nd = 0 if hyb.diag_blocks is None else hyb.diag_blocks.shape[0]
+    nc = (0 if hyb.cluster_count is None
+          else int((np.asarray(hyb.cluster_count) > 0).sum()))
     print(f"hybrid: {nb} dense tiles"
           + (f" + {nd} diag blocks (r={hyb.diag_r})" if nd else "")
+          + (f" + {nc} cluster-att entries (K={hyb.cluster_size})"
+             if nc else "")
           + f", {hyb.num_coo_edges} coo edges of {num_edges}",
           file=sys.stderr)
     if BENCH_ABLATE:

@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hybrid_bf16_tiles", action="store_true",
                    help="store the dense adjacency tiles in bfloat16 "
                         "(halves tile HBM traffic; f32 accumulation)")
+    t.add_argument("--cluster_attention", type=int, default=0,
+                   help="GATConv full-graph training: collapse straggler "
+                        "edges onto their sender's cluster-summary row "
+                        "(APPROXIMATE — the reference's cluster_node idea "
+                        "applied to attention; dense MXU block instead of "
+                        "per-edge softmax). Value = nodes per cluster, "
+                        "multiple of 128; 0 = exact per-edge (default)")
     t.add_argument("--preaggregate", action="store_true",
                    help="GCN/SAGE/GIN --baseline: fold layer-0 aggregation "
                         "into ingest (exact — input features are constant; "
@@ -386,18 +393,30 @@ def _cmd_train_baseline(args) -> int:
                                         num_classes)
     from fitgnn_tpu.graph.optimize import (build_optimized_graph,
                                            should_use_hybrid)
-    if should_use_hybrid(ds.num_nodes, args.layer_name, args.hybrid_spmm):
+    cluster_att = getattr(args, "cluster_attention", 0)
+    if cluster_att and args.layer_name != "GATConv":
+        raise SystemExit("--cluster_attention is an attention "
+                         "factorization (GATConv only)")
+    if cluster_att or should_use_hybrid(ds.num_nodes, args.layer_name,
+                                        args.hybrid_spmm):
         # full-graph fast path: Leiden reorder + BCSR/COO hybrid operator
-        # (exact — node permutation; see graph/optimize.py)
+        # (exact — node permutation; see graph/optimize.py).  With
+        # --cluster_attention the straggler remainder is APPROXIMATE
+        # (summary attention) and the path is forced on.
         import jax.numpy as _j
         g, _ = build_optimized_graph(
             ds.x, ds.senders, ds.receivers, y=ds.y, train_mask=train,
             val_mask=val, test_mask=test, layer_name=args.layer_name,
             min_block_edges=args.hybrid_threshold,
             tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None,
+            cluster_att=cluster_att,
             seed=args.seed)
+        nca = (0 if g.aux.cluster_count is None
+               else int(np.asarray(g.aux.cluster_count > 0).sum()))
         print(f"hybrid operator: {0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks}"
-              f" dense tiles, {g.aux.num_coo_edges} straggler edges")
+              f" dense tiles, {g.aux.num_coo_edges} straggler edges"
+              + (f", {nca} cluster-attention entries "
+                 f"(K={g.aux.cluster_size}, approximate)" if nca else ""))
     else:
         g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,
                         train_mask=train, val_mask=val, test_mask=test)

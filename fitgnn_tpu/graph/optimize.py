@@ -57,6 +57,7 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                           tile_dtype=None, use_segmm: bool = True,
                           tile_group: int = 1, layer_name: str = "GCNConv",
                           use_diag: bool = False,
+                          cluster_att: int = 0,
                           seed: int = 0) -> tuple[Graph, np.ndarray]:
     """Reorder nodes by two-level Leiden communities, build the padded
     ``Graph`` and attach a ``HybridSpmm`` operator as ``g.aux``.
@@ -77,10 +78,16 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
     def perm(a):
         return None if a is None else np.asarray(a)[order]
 
+    if cluster_att and (cluster_att % 128 or cluster_att <= 0):
+        raise ValueError(f"cluster_att={cluster_att} must be a positive "
+                         "multiple of the 128 tile block")
     g = build_graph(np.asarray(x)[order], inv[senders].astype(np.int32),
                     inv[receivers].astype(np.int32), y=perm(y),
                     train_mask=perm(train_mask), val_mask=perm(val_mask),
-                    test_mask=perm(test_mask), node_pad_to=128)
+                    test_mask=perm(test_mask),
+                    # cluster summaries reduce over contiguous equal-size
+                    # node groups: pad the node space to a whole cluster
+                    node_pad_to=cluster_att or 128)
     semantics = _LAYER_SEMANTICS[layer_name]
     w_op = _operator_weights(g.senders, g.receivers, g.edge_weight,
                              g.num_nodes_padded, semantics)
@@ -90,7 +97,8 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype,
                        use_segmm=use_segmm, use_diag=use_diag,
-                       tile_group=tile_group, semantics=semantics)
+                       tile_group=tile_group, semantics=semantics,
+                       cluster_att=cluster_att, real_nodes=n)
     return g._replace(aux=hyb), order
 
 

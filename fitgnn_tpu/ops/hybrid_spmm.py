@@ -69,6 +69,25 @@ class HybridSpmm:
                                        # fused through init operands;
                                        # 0: XLA batched einsum (the round-2
                                        # variant, kept for A/B)
+    # --- cluster-factorized attention (att_unit only, opt-in) -------------
+    # Straggler edges collapse onto their sender's CLUSTER-SUMMARY row: the
+    # per-edge straggler path disappears and the remote context rides a
+    # dense (N, C) masked-count attention block (pure MXU) over per-cluster
+    # mean summaries — the single-chip analog of the hierarchical path's
+    # cluster-summary attention (parallel/hierarchical.HierGATConv) and of
+    # the reference's cluster_node approximation (utils.py:191-232).
+    # Duplicate edges from one cluster keep their multiplicity (the count
+    # IS the weight), so this is exactly "every straggler edge attends to
+    # its sender's cluster summary".
+    cluster_count: Optional[jnp.ndarray] = None  # (N, C) straggler edge
+                                       # counts per (receiver, sender
+                                       # cluster); bf16 (exact ≤256) or f32
+    cluster_scale: Optional[jnp.ndarray] = None  # (C,) 1/|real members|
+    cluster_member: Optional[jnp.ndarray] = None  # (N,) 1.0 on real rows
+    cluster_size: int = flax.struct.field(pytree_node=False, default=0)
+                                       # nodes per cluster (contiguous
+                                       # equal-size blocks in the ordered
+                                       # id space; 0 = mode off)
 
     @property
     def num_coo_edges(self) -> int:
@@ -86,8 +105,16 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  use_rowwalk: bool = False,
                  tile_group: int = 1,
                  use_einsum_tiles: bool = False,
-                 semantics: str = "gcn_norm") -> HybridSpmm:
-    """Split edges by tile occupancy and build both structures (host-side)."""
+                 semantics: str = "gcn_norm",
+                 cluster_att: int = 0,
+                 real_nodes: int | None = None) -> HybridSpmm:
+    """Split edges by tile occupancy and build both structures (host-side).
+
+    ``cluster_att`` (att_unit only): nodes per cluster — straggler edges
+    collapse onto dense (N, C) counts against their sender's cluster and
+    the per-edge straggler lists empty out (see HybridSpmm.cluster_count).
+    ``real_nodes``: count of non-padding node rows (summary means exclude
+    padding); defaults to ``num_nodes_padded``."""
     assert num_nodes_padded % block == 0
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -130,6 +157,36 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
 
     cs, cr, cw = (senders[~dense_all], receivers[~dense_all],
                   weight[~dense_all])
+
+    cluster_count = cluster_scale = cluster_member = None
+    cluster_size = 0
+    if cluster_att:
+        if semantics != "att_unit":
+            raise ValueError("cluster_att is an attention factorization "
+                             "(semantics='att_unit' only)")
+        if num_nodes_padded % cluster_att:
+            raise ValueError(f"cluster_att={cluster_att} must divide the "
+                             f"padded node count {num_nodes_padded}")
+        K = cluster_att
+        C = num_nodes_padded // K
+        real = (cw > 0)                    # padding edges never count
+        cc = np.zeros((num_nodes_padded, C), dtype=np.float32)
+        np.add.at(cc, (cr[real], cs[real] // K), 1.0)
+        # bf16 keeps the (N, C) table half-size and is exact for integer
+        # counts ≤ 256 (ties to the remote-compile payload limit: pass the
+        # table as a runtime input, never a baked constant)
+        cdtype = jnp.bfloat16 if cc.max() <= 256 else jnp.float32
+        nr = num_nodes_padded if real_nodes is None else int(real_nodes)
+        member = (np.arange(num_nodes_padded) < nr).astype(np.float32)
+        counts = member.reshape(C, K).sum(axis=1)
+        cluster_count = jnp.asarray(cc, dtype=cdtype)
+        cluster_scale = jnp.asarray(1.0 / np.maximum(counts, 1.0),
+                                    dtype=jnp.float32)
+        cluster_member = jnp.asarray(member)
+        cluster_size = K
+        cs, cr, cw = (np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, np.float32))
+
     if len(cs) == 0:  # keep shapes non-empty for jit friendliness
         cs = np.array([num_nodes_padded - 1], dtype=np.int64)
         cr = np.array([num_nodes_padded - 1], dtype=np.int64)
@@ -173,7 +230,11 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                       t_edge_perm=jnp.asarray(t_edge_perm, dtype=jnp.int32),
                       num_nodes=num_nodes_padded, semantics=semantics,
                       segmm=segmm, t_segmm=t_segmm, dyn_plan=dyn_plan,
-                      diag_blocks=diag_blocks, diag_r=diag_r_val)
+                      diag_blocks=diag_blocks, diag_r=diag_r_val,
+                      cluster_count=cluster_count,
+                      cluster_scale=cluster_scale,
+                      cluster_member=cluster_member,
+                      cluster_size=cluster_size)
 
 
 def _coo_apply(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:

@@ -82,6 +82,17 @@ _NEG = -1e30  # "minus infinity" that survives exp/where without NaNs
 # ---------------------------------------------------------------------------
 
 
+def _cluster_src_scores(aux, score_src):
+    """(C,) sender scores of the cluster-summary rows: means commute with
+    the linear score projection, so the summary's score IS the cluster mean
+    of the per-node scores (padding rows excluded via the member mask)."""
+    K = aux.cluster_size
+    C = aux.num_nodes // K
+    member = aux.cluster_member.astype(jnp.float32)
+    return ((score_src.astype(jnp.float32) * member).reshape(C, K).sum(1)
+            * aux.cluster_scale)
+
+
 def _take_rows(a, idx, sorted_idx=False):
     """Gather rows with an in-bounds promise (no FILL_OR_DROP guard) and an
     optional sorted-indices hint.  ``jnp.take``'s default mode wraps the
@@ -373,6 +384,14 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
             e_d = jnp.where(maskd,
                             leaky(sdd[:, :, None] + ssd[:, None, :]), _NEG)
             m = jnp.maximum(m, jnp.max(e_d, axis=2).reshape(n))
+        if getattr(aux, "cluster_count", None) is not None:
+            # cluster-summary rows carry in-edges too (same hazard as the
+            # diag/BSR folds above)
+            ssrc_c = _cluster_src_scores(aux, score_src)
+            e_c = jnp.where(aux.cluster_count > 0,
+                            leaky(score_dst.astype(jnp.float32)[:, None]
+                                  + ssrc_c[None, :]), _NEG)
+            m = jnp.maximum(m, jnp.max(e_c, axis=1))
         m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
         m_e = _take_rows(m, aux.receivers, sorted_idx=True)
 
@@ -446,6 +465,35 @@ def _finish_tiles(aux, score_src, score_dst, h, negative_slope, m, num, den,
         num = num + jnp.einsum("bij,bjf->bif", pe_d.astype(h.dtype),
                                xb).reshape(n, f).astype(num.dtype)
         den = den + jnp.sum(pe_d, axis=2).reshape(n)
+
+    if getattr(aux, "cluster_count", None) is not None:
+        # Cluster-factorized remote attention: every (absent) straggler
+        # edge attends to its sender's cluster-summary row instead — one
+        # dense (N, C) score block + an (N, C)@(C, F) MXU matmul replace
+        # the per-edge gather/scatter path.  Duplicate edges from one
+        # cluster share the summary's score, so multiplying the softmax
+        # numerator by the count reproduces per-edge-on-summary semantics
+        # EXACTLY (parallel/hierarchical.py's summary treatment, the
+        # reference's cluster_node idea, utils.py:191-232).
+        # The _GLOBAL_MAX bound already covers these scores: the summary
+        # score is a mean of member scores ≤ max(score_src).
+        K = aux.cluster_size
+        C = n // K
+        member = aux.cluster_member.astype(jnp.float32)
+        ssrc_c = _cluster_src_scores(aux, score_src)          # (C,)
+        cnt = aux.cluster_count                               # (N, C)
+        # mask BEFORE the exp (same NaN hazard as the BSR branch below):
+        # exp on a masked over-m entry saves an inf the where-VJP turns
+        # into 0·inf; masked-to-_NEG scores keep every exponent ≤ 0
+        e_c = jnp.where(cnt > 0,
+                        leaky(score_dst.astype(jnp.float32)[:, None]
+                              + ssrc_c[None, :]), _NEG)
+        pe_c = jnp.exp(e_c - m[:, None]) * cnt.astype(jnp.float32)
+        hs = ((h.astype(jnp.float32) * member[:, None])
+              .reshape(C, K, f).sum(1)
+              * aux.cluster_scale[:, None]).astype(h.dtype)   # (C, F)
+        num = num + (pe_c.astype(h.dtype) @ hs).astype(num.dtype)
+        den = den + jnp.sum(pe_c, axis=1)
 
     if fused:
         from fitgnn_tpu.ops.pallas.att_bsr import att_tiles

@@ -1,0 +1,153 @@
+"""Cluster-factorized GAT attention (opt-in): straggler edges attend to
+their sender's CLUSTER-SUMMARY row through a dense (N, C) masked-count MXU
+block — the single-chip analog of the hierarchical path's summary
+attention (parallel/hierarchical.HierGATConv) and of the reference's
+cluster_node approximation (utils.py:191-232).
+
+The oracle is EXACT for these semantics: a plain per-edge GAT on an
+AUGMENTED graph with C summary pseudo-nodes whose features are the
+member-mean of x (means commute with the layer's linear projection, so
+the summary's h/score rows equal the cluster means of the members'), and
+one (summary -> receiver) edge per collapsed straggler edge (duplicates
+keep multiplicity).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fitgnn_tpu.graph import build_graph
+from fitgnn_tpu.graph.optimize import build_optimized_graph
+from fitgnn_tpu.models.layers import GATConv
+from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
+
+
+def _random_graph(seed, n=500, e=2500):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, e, dtype=np.int64)
+    r = rng.integers(0, n, e, dtype=np.int64)
+    keep = s != r
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    return x, s[keep], r[keep], y
+
+
+def _oracle_graph(g_opt, thresh, K):
+    """Rebuild the exact split the hybrid applied, then emit the augmented
+    per-edge oracle graph (directed, no extra self-loops/normalization)."""
+    n_pad = g_opt.num_nodes_padded
+    s_all = np.asarray(g_opt.senders, dtype=np.int64)
+    r_all = np.asarray(g_opt.receivers, dtype=np.int64)
+    real = np.arange(len(s_all)) < int(g_opt.n_edge)
+    s_e, r_e = s_all[real], r_all[real]
+    nb = n_pad // 128
+    tile = (r_e // 128) * nb + (s_e // 128)
+    _, inv_t, cnts = np.unique(tile, return_inverse=True, return_counts=True)
+    dense = cnts[inv_t] >= thresh
+
+    C = n_pad // K
+    nr = int(g_opt.n_node)
+    member = (np.arange(n_pad) < nr).astype(np.float64)
+    x_pad = np.asarray(g_opt.x, dtype=np.float64)
+    sums = (x_pad * member[:, None]).reshape(C, K, -1).sum(axis=1)
+    counts = member.reshape(C, K).sum(axis=1)
+    x_sum = (sums / np.maximum(counts, 1.0)[:, None]).astype(np.float32)
+
+    aug_s = np.concatenate([s_e[dense], n_pad + s_e[~dense] // K])
+    aug_r = np.concatenate([r_e[dense], r_e[~dense]])
+    x_aug = np.concatenate([x_pad.astype(np.float32), x_sum], axis=0)
+    return build_graph(x_aug, aug_s.astype(np.int32),
+                       aug_r.astype(np.int32), undirected=False,
+                       self_loops=False, normalize=False, node_pad_to=8)
+
+
+def _run_case(thresh, K, seed=0, features=16):
+    x, s, r, y = _random_graph(seed)
+    g_opt, order = build_optimized_graph(x, s, r, y=y,
+                                         min_block_edges=thresh,
+                                         layer_name="GATConv",
+                                         cluster_att=K, seed=0)
+    assert g_opt.aux.cluster_count is not None
+    assert g_opt.aux.cluster_size == K
+    g_aug = _oracle_graph(g_opt, thresh, K)
+
+    layer = GATConv(features=features)
+    params = layer.init(jax.random.PRNGKey(1), g_aug.x, g_aug)
+    out_aug = np.asarray(layer.apply(params, g_aug.x, g_aug))
+    out_opt = np.asarray(layer.apply(params, g_opt.x, g_opt))
+    n = len(order)
+    np.testing.assert_allclose(out_opt[:n], out_aug[:n],
+                               rtol=3e-4, atol=3e-5)
+
+    def loss_opt(p):
+        return jnp.sum(layer.apply(p, g_opt.x, g_opt)[:n] ** 2)
+
+    def loss_aug(p):
+        return jnp.sum(layer.apply(p, g_aug.x, g_aug)[:n] ** 2)
+
+    g1 = jax.grad(loss_aug)(params)
+    g2 = jax.grad(loss_opt)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4)
+
+
+def test_pure_cluster_attention_matches_summary_oracle():
+    """All edges stragglers (threshold huge): the output is ENTIRELY the
+    dense cluster block, incl. self-loops collapsing onto own-cluster
+    summaries — must match the augmented per-edge oracle exactly."""
+    _run_case(thresh=10 ** 9, K=128)
+
+
+def test_mixed_tiles_plus_cluster_attention():
+    """Realistic split: dense tiles stay exact per-edge/tile attention,
+    only the straggler remainder rides the summary block."""
+    _run_case(thresh=8, K=128)
+
+
+def test_cluster_attention_wider_clusters():
+    _run_case(thresh=8, K=256, seed=3)
+
+
+def test_cluster_attention_exact_max_stabilizer(monkeypatch):
+    """FITGNN_GAT_GLOBAL_MAX=0: the exact segment-max must fold in the
+    cluster-score row maxima (a receiver whose edges ALL collapsed to the
+    summary block has no straggler/tile contribution to m)."""
+    from fitgnn_tpu.ops import tile_gat
+    monkeypatch.setattr(tile_gat, "_GLOBAL_MAX", False)
+    _run_case(thresh=10 ** 9, K=128, seed=5)
+
+
+def test_cluster_count_multiplicity_and_guards():
+    x, s, r, y = _random_graph(7, n=300, e=900)
+    g_opt, order = build_optimized_graph(x, s, r, y=y,
+                                         min_block_edges=10 ** 9,
+                                         layer_name="GATConv",
+                                         cluster_att=128, seed=0)
+    hyb = g_opt.aux
+    n_pad = g_opt.num_nodes_padded
+    cc = np.asarray(hyb.cluster_count, dtype=np.float64)
+    # total count == number of real (weight>0) edges, all collapsed
+    s_all = np.asarray(g_opt.senders, dtype=np.int64)
+    r_all = np.asarray(g_opt.receivers, dtype=np.int64)
+    real = np.arange(len(s_all)) < int(g_opt.n_edge)
+    assert cc.sum() == real.sum()
+    ref = np.zeros_like(cc)
+    np.add.at(ref, (r_all[real], s_all[real] // 128), 1.0)
+    np.testing.assert_array_equal(cc, ref)
+    # straggler lists emptied to the single zero-weight placeholder
+    assert hyb.num_coo_edges == 1
+    assert float(hyb.weights[0]) == 0.0
+    # member mask / scale match the real-node prefix
+    member = np.asarray(hyb.cluster_member)
+    assert member[: len(order)].all() and not member[len(order):].any()
+    # guards: non-attention semantics and non-dividing cluster size
+    import pytest
+    with pytest.raises(ValueError):
+        build_hybrid(s_all, r_all, np.ones(len(s_all), np.float32), n_pad,
+                     semantics="gcn_norm", cluster_att=128)
+    with pytest.raises(ValueError):
+        build_hybrid(s_all, r_all, np.ones(len(s_all), np.float32), n_pad,
+                     semantics="att_unit", cluster_att=n_pad + 128)
