@@ -294,19 +294,29 @@ def cmd_train(args) -> int:
     part = _partition(args, ds, train, val, test, num_classes)
     if part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer":
         from fitgnn_tpu.graph.optimize import optimize_coarse, should_use_hybrid
-        if should_use_hybrid(int(part.coarse.graph.n_node), args.layer_name,
-                             args.hybrid_spmm):
+        gc_cluster_att = getattr(args, "cluster_attention", 0)
+        if gc_cluster_att and args.layer_name != "GATConv":
+            raise SystemExit("--cluster_attention is an attention "
+                             "factorization (GATConv only)")
+        if gc_cluster_att or should_use_hybrid(int(part.coarse.graph.n_node),
+                                               args.layer_name,
+                                               args.hybrid_spmm):
             # products-scale Gc graphs are full-graph training problems —
             # same Leiden-reorder + hybrid fast path as --baseline
             import jax.numpy as _j
             part.coarse = optimize_coarse(
                 part.coarse, seed=args.seed, layer_name=args.layer_name,
                 min_block_edges=args.hybrid_threshold,
-                tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None)
+                tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None,
+                cluster_att=gc_cluster_att)
             hyb = part.coarse.graph.aux
+            nca = (0 if hyb.cluster_count is None
+                   else int(np.asarray(hyb.cluster_count > 0).sum()))
             print(f"Gc hybrid operator: "
                   f"{0 if hyb.bsr is None else hyb.bsr.nnz_blocks} dense "
-                  f"tiles, {hyb.num_coo_edges} straggler edges")
+                  f"tiles, {hyb.num_coo_edges} straggler edges"
+                  + (f", {nca} cluster-attention entries "
+                     f"(K={hyb.cluster_size}, approximate)" if nca else ""))
 
     task = "classification" if args.task == "node_cls" else "regression"
     save_path = checkpoint_path(args.task, args.output_dir)

@@ -104,7 +104,8 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
 
 def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                     use_segmm: bool = True, tile_group: int = 1,
-                    layer_name: str = "GCNConv", seed: int = 0):
+                    layer_name: str = "GCNConv", cluster_att: int = 0,
+                    seed: int = 0):
     """Leiden-reorder a ``CoarseData``'s graph and attach the hybrid
     operator — the Gc phase at products scale (~165k metanodes,
     reference ``main.py:247-267``) is a full-graph training problem and
@@ -136,10 +137,11 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
     esort = np.argsort(r2, kind="stable")
     s2, r2, w2 = s2[esort], r2[esort], w[esort]
 
-    # the BCSR tiles need a 128-multiple node count: extend node arrays
-    # with inert padding (zero features, False masks; existing padding
-    # edges keep their weight-0 self-loops on the old pad node)
-    extra = (-n_pad) % 128
+    # the BCSR tiles need a 128-multiple node count (cluster summaries a
+    # whole-cluster multiple): extend node arrays with inert padding (zero
+    # features, False masks; existing padding edges keep their weight-0
+    # self-loops on the old pad node)
+    extra = (-n_pad) % (cluster_att or 128)
     n_pad += extra
 
     def pnode(a):
@@ -157,7 +159,8 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype,
                        use_segmm=use_segmm,
-                       tile_group=tile_group, semantics=semantics)
+                       tile_group=tile_group, semantics=semantics,
+                       cluster_att=cluster_att, real_nodes=n_real)
     g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
                     receivers=jnp.asarray(r2, dtype=jnp.int32),
                     edge_weight=jnp.asarray(w2), y=pnode(g.y),

@@ -151,3 +151,36 @@ def test_cluster_count_multiplicity_and_guards():
     with pytest.raises(ValueError):
         build_hybrid(s_all, r_all, np.ones(len(s_all), np.float32), n_pad,
                      semantics="att_unit", cluster_att=n_pad + 128)
+
+
+def test_optimize_coarse_cluster_attention_trains():
+    """Gc-phase wiring: optimize_coarse(cluster_att=K) builds a GAT coarse
+    graph whose node space is padded to whole clusters, trains without
+    NaNs, and carries the count table (approximate mode — exactness vs the
+    per-edge oracle is gated by the tests above at the op level)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fitgnn_tpu.graph.optimize import optimize_coarse
+    from fitgnn_tpu.models import NodeModel
+    from fitgnn_tpu.train import steps
+    from test_train import make_dataset
+
+    ds = make_dataset()
+    co2 = optimize_coarse(ds.coarse, min_block_edges=4, cluster_att=128,
+                          layer_name="GATConv")
+    hyb = co2.graph.aux
+    assert hyb.cluster_count is not None and hyb.cluster_size == 128
+    assert co2.graph.num_nodes_padded % 128 == 0
+    model = NodeModel(layer_name="GATConv", hidden=16, num_layers=2,
+                      out_dim=4, dropout_rate=0.0)
+    st = steps.create_state(model, jax.random.PRNGKey(0), co2.graph.x,
+                            co2.graph)
+    losses = []
+    for i in range(8):
+        st, l = steps.gc_train_step(st, co2.graph, co2.y_train,
+                                    co2.train_mask, jax.random.PRNGKey(i),
+                                    "classification")
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
