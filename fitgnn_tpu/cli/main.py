@@ -397,8 +397,6 @@ def _cmd_train_baseline(args) -> int:
         norms = np.abs(ds.x).sum(axis=1, keepdims=True)
         ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
     if args.num_devices > 1:
-        if not classify:
-            raise SystemExit("distributed baseline supports node_cls")
         return _cmd_train_baseline_dist(args, ds, train, val, test,
                                         num_classes)
     from fitgnn_tpu.graph.optimize import (build_optimized_graph,
@@ -507,11 +505,14 @@ def _cmd_train_baseline(args) -> int:
 
 
 def _cmd_train_baseline_dist(args, ds, train, val, test,
-                             num_classes: int) -> int:
+                             num_classes) -> int:
     """Full-graph baseline training sharded over a (num_hosts × chips) mesh
     through the hierarchical exchange: community-placed shards, exact halo
     rows over the chip/ICI axis, cluster-summary rows across hosts — the
-    reference's cluster_node mechanism as a collective (SURVEY §2.4)."""
+    reference's cluster_node mechanism as a collective (SURVEY §2.4).
+    Runs node_cls AND node_reg (the reference trains regression through the
+    same models, ``run.py:508``, ``network.py:37``); ``num_classes`` is None
+    for regression."""
     import jax
     from fitgnn_tpu.parallel import (
         CHIP_AXIS, HOST_AXIS, HierNodeModel, build_hier_plan,
@@ -560,8 +561,10 @@ def _cmd_train_baseline_dist(args, ds, train, val, test,
                            cluster_of,
                            interior_hybrid=args.layer_name != "GATConv")
     mesh = make_hier_mesh(H, D)
+    classify = args.task == "node_cls"
     model = HierNodeModel(hidden=args.hidden, num_layers=args.num_layers1,
-                          out_dim=num_classes, layer_name=args.layer_name)
+                          out_dim=num_classes if classify else 1,
+                          layer_name=args.layer_name, classify=classify)
     train_step = make_hier_train_step(mesh, model, plan)
     eval_step = make_hier_eval_step(mesh, model, plan)
 
@@ -606,8 +609,10 @@ def _cmd_train_baseline_dist(args, ds, train, val, test,
 
     acc, loss = _np.asarray(all_acc), _np.asarray(all_loss)
     top_acc = _np.sort(acc)[::-1][:10]
-    top_loss = _np.sort(loss)[:10]
-    header = R.TRAIN_NODE_CLS_HEADER
+    # regression: `acc` holds the std-normalized L1 metric (the value the
+    # reference records as its regression loss, run.py:110,168)
+    top_loss = _np.sort(loss if classify else acc)[:10]
+    header = R.TRAIN_NODE_CLS_HEADER if classify else R.TRAIN_NODE_REG_HEADER
     row = R.format_row(header, {
         "dataset": args.dataset, "coarsening_method": "none",
         "coarsening_ratio": "", "experiment": getattr(args, "experiment", ""),

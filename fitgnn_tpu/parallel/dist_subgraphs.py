@@ -23,7 +23,8 @@ from fitgnn_tpu.graph.container import SubgraphBatch
 from fitgnn_tpu.parallel.mesh import DATA_AXIS
 from fitgnn_tpu.train.steps import TrainState, _vmapped_out
 from fitgnn_tpu.train.losses import (
-    masked_correct_sum, masked_l1_sum, masked_nll_sum,
+    masked_correct_sum, masked_l1_sum, masked_nll_sum, task_loss_sums,
+    task_metric_from_sums, task_metric_sums,
 )
 
 
@@ -120,23 +121,22 @@ def make_dist_gs_eval_step_multi(mesh: Mesh, examples,
                        out_specs=(P(), P()),
                        check_vma=False)
     def step(state: TrainState, batches):
-        s_tot, c_tot, corr_tot = 0.0, 0.0, 0.0
+        s_tot, c_tot, m_tot, y_tot, y2_tot = 0.0, 0.0, 0.0, 0.0, 0.0
         for b in batches:
             mask = b.val_mask if split == "val" else b.test_mask
             out = _vmapped_out(state.apply_fn, state.params, b, False, None)
-            if task == "classification":
-                s, c = masked_nll_sum(out, b.y, mask)
-                corr, _ = masked_correct_sum(out, b.y, mask)
-            else:
-                s, c = masked_l1_sum(out, b.y, mask)
-                corr = s
+            s, c = task_loss_sums(task, out, b.y, mask)
+            ms, ys, y2s = task_metric_sums(task, out, b.y, mask)
             s_tot += s
             c_tot += c
-            corr_tot += corr
-        s_tot = jax.lax.psum(s_tot, DATA_AXIS)
-        c_tot = jnp.maximum(jax.lax.psum(c_tot, DATA_AXIS), 1.0)
-        corr_tot = jax.lax.psum(corr_tot, DATA_AXIS)
-        return s_tot / c_tot, corr_tot / c_tot
+            m_tot += ms
+            y_tot += ys
+            y2_tot += y2s
+        s_tot, c_tot, m_tot, y_tot, y2_tot = jax.lax.psum(
+            (s_tot, c_tot, m_tot, y_tot, y2_tot), DATA_AXIS)
+        metric = task_metric_from_sums(task, s_tot, c_tot, m_tot, y_tot,
+                                       y2_tot)
+        return s_tot / jnp.maximum(c_tot, 1.0), metric
 
     return jax.jit(step)
 
@@ -153,16 +153,83 @@ def make_dist_gs_eval_step(mesh: Mesh, example: SubgraphBatch,
     def step(state: TrainState, batch: SubgraphBatch):
         mask = batch.val_mask if split == "val" else batch.test_mask
         out = _vmapped_out(state.apply_fn, state.params, batch, False, None)
-        if task == "classification":
-            s, c = masked_nll_sum(out, batch.y, mask)
-            corr, _ = masked_correct_sum(out, batch.y, mask)
-        else:
-            s, c = masked_l1_sum(out, batch.y, mask)
-            corr = s
-        s = jax.lax.psum(s, DATA_AXIS)
-        c = jax.lax.psum(c, DATA_AXIS)
-        corr = jax.lax.psum(corr, DATA_AXIS)
-        c = jnp.maximum(c, 1.0)
-        return s / c, corr / c
+        s, c = task_loss_sums(task, out, batch.y, mask)
+        ms, ys, y2s = task_metric_sums(task, out, batch.y, mask)
+        s, c, ms, ys, y2s = jax.lax.psum((s, c, ms, ys, y2s), DATA_AXIS)
+        metric = task_metric_from_sums(task, s, c, ms, ys, y2s)
+        return s / jnp.maximum(c, 1.0), metric
+
+    return jax.jit(step)
+
+
+def make_dist_gs_train_epoch_mb(mesh: Mesh, examples,
+                                task: str = "classification",
+                                batch_size: int = 128):
+    """MB gradient mode over the subgraph axis — the reference's second
+    gradient regime (``node_train_Gs_MB``, ``run.py:217``) distributed: one
+    optimizer step per global chunk of ``batch_size`` subgraphs, each chunk
+    split across the mesh with psum-reduced grads, so every device applies
+    the identical update (one psum pair per minibatch).
+
+    Chunk membership is block-strided — device ``d`` holds subgraphs
+    ``[d·S/P, (d+1)·S/P)`` of the padded batch and contributes its ``k``-th
+    local slice to global chunk ``k`` — a deterministic regrouping of the
+    reference's sequential DataLoader chunks (MB is stochastic in chunk
+    composition anyway; GD equivalence when ``batch_size`` covers the whole
+    batch is gated by tests).  Chunks with no train node on ANY device
+    leave the state untouched (the reference ``continue``s them).
+
+    Returns ``step(state, batches, rng) -> (state, Σ chunk losses)`` for
+    ``batches`` sharded like the examples (tuple of size-bucketed
+    SubgraphBatch, subgraph axis padded to a shard multiple)."""
+    examples = tuple(examples)
+    spec = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), examples)
+    num_devices = mesh.devices.size
+    bs_local = max(1, -(-batch_size // num_devices))
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec, P()),
+                       out_specs=(P(), P()),
+                       check_vma=False)
+    def step(state: TrainState, batches, rng):
+        total = 0.0
+        for bi, b in enumerate(batches):
+            s_loc = b.num_subgraphs          # local slice on this device
+            n_chunks = -(-s_loc // bs_local)
+            pad = n_chunks * bs_local - s_loc
+
+            def pad_chunk(a):
+                if a is None:
+                    return None
+                widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                out = jnp.pad(a, widths)
+                return out.reshape((n_chunks, bs_local) + a.shape[1:])
+
+            cb = jax.tree_util.tree_map(pad_chunk, b)
+
+            def body(st, inp):
+                chunk, r = inp
+
+                def loss(params):
+                    out = _vmapped_out(st.apply_fn, params, chunk, True, r)
+                    s, c = task_loss_sums(task, out, chunk.y,
+                                          chunk.train_mask)
+                    gc = jax.lax.psum(c, DATA_AXIS)
+                    return s / jnp.maximum(gc, 1.0), gc
+
+                (val, gc), grads = jax.value_and_grad(
+                    loss, has_aux=True)(st.params)
+                grads = jax.lax.psum(grads, DATA_AXIS)
+                loss_g = jax.lax.psum(val, DATA_AXIS)
+                has_train = gc > 0
+                new_st = st.apply_gradients(grads=grads)
+                st = jax.tree_util.tree_map(
+                    lambda a, o: jnp.where(has_train, a, o), new_st, st)
+                return st, jnp.where(has_train, loss_g, 0.0)
+
+            rngs = jax.random.split(jax.random.fold_in(rng, bi), n_chunks)
+            state, losses = jax.lax.scan(body, state, (cb, rngs))
+            total = total + jnp.sum(losses)
+        return state, total
 
     return jax.jit(step)

@@ -19,7 +19,16 @@ from fitgnn_tpu.parallel.mesh import DATA_AXIS
 from fitgnn_tpu.parallel.shard import ShardedGraph
 from fitgnn_tpu.train.steps import TrainState, adam_l2
 from fitgnn_tpu.parallel.dist_model import DistNodeModel
-from fitgnn_tpu.train.losses import _pick_label_logprob
+from fitgnn_tpu.train.losses import (task_loss_sums, task_metric_from_sums,
+                                     task_metric_sums)
+
+
+def _model_task(model) -> str:
+    """Task follows the model head: log_softmax ⇒ classification, linear ⇒
+    regression (reference trains node_reg through the same runners,
+    ``run.py:508``)."""
+    return "classification" if getattr(model, "classify", True) \
+        else "regression"
 
 
 def create_dist_state(model: DistNodeModel, rng, sg: ShardedGraph,
@@ -38,13 +47,10 @@ def create_dist_state(model: DistNodeModel, rng, sg: ShardedGraph,
 
 
 def _local_loss(apply_fn, params, xb, sb, rb, wb, yb, mb, rng, train,
-                num_classes: int):
+                task: str = "classification"):
     out = apply_fn(params, xb, sb, rb, wb, train=train,
                    **({"rngs": {"dropout": rng}} if train else {}))
-    picked = _pick_label_logprob(out, yb)
-    m = mb.astype(out.dtype)
-    local_sum = jnp.sum(-picked * m)
-    local_cnt = jnp.sum(m)
+    local_sum, local_cnt = task_loss_sums(task, out, yb, mb)
     return out, local_sum, local_cnt
 
 
@@ -69,7 +75,7 @@ def make_dist_train_step(mesh: Mesh, model: DistNodeModel):
         def loss_fn(params):
             _, local_sum, local_cnt = _local_loss(
                 state.apply_fn, params, xb, sb, rb, wb, yb, mb, rng, True,
-                model.out_dim)
+                _model_task(model))
             global_cnt = jax.lax.psum(local_cnt, DATA_AXIS)
             # per-device partial of the global mean; summed via grad psum
             return local_sum / jnp.maximum(global_cnt, 1.0)
@@ -111,10 +117,9 @@ def make_halo_train_step(mesh: Mesh, model, plan):
                 params, x, plan_b.senders_ext[0], plan_b.receivers[0],
                 plan_b.edge_weight[0], plan_b.send_idx[0],
                 plan_b.send_mask[0], train=True, rngs={"dropout": rng})
-            picked = _pick_label_logprob(out, y)
-            mf = m.astype(out.dtype)
-            local_sum = jnp.sum(-picked * mf)
-            global_cnt = jax.lax.psum(jnp.sum(mf), DATA_AXIS)
+            local_sum, local_cnt = task_loss_sums(_model_task(model),
+                                                  out, y, m)
+            global_cnt = jax.lax.psum(local_cnt, DATA_AXIS)
             return local_sum / jnp.maximum(global_cnt, 1.0)
 
         local_loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -142,13 +147,11 @@ def make_dist_eval_step(mesh: Mesh, model: DistNodeModel, split: str = "test"):
         yb = sg.y[0]
         mb = (sg.val_mask if split == "val" else sg.test_mask)[0]
         out = state.apply_fn(state.params, xb, sb, rb, wb)
-        m = mb.astype(out.dtype)
-        picked = _pick_label_logprob(out, yb)
-        loss_sum = jax.lax.psum(jnp.sum(-picked * m), DATA_AXIS)
-        correct = jax.lax.psum(jnp.sum(
-            (jnp.argmax(out, -1) == yb).astype(out.dtype) * m), DATA_AXIS)
-        cnt = jax.lax.psum(jnp.sum(m), DATA_AXIS)
-        cnt = jnp.maximum(cnt, 1.0)
-        return loss_sum / cnt, correct / cnt
+        task = _model_task(model)
+        ls, c = task_loss_sums(task, out, yb, mb)
+        ms, ys, y2s = task_metric_sums(task, out, yb, mb)
+        ls, c, ms, ys, y2s = jax.lax.psum((ls, c, ms, ys, y2s), DATA_AXIS)
+        metric = task_metric_from_sums(task, ls, c, ms, ys, y2s)
+        return ls / jnp.maximum(c, 1.0), metric
 
     return jax.jit(step)

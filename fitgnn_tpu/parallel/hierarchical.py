@@ -33,7 +33,6 @@ import flax.linen as nn
 import flax.struct
 
 from fitgnn_tpu.ops.segment import segment_sum
-from fitgnn_tpu.train.losses import _pick_label_logprob
 
 HOST_AXIS = "host"
 CHIP_AXIS = "chip"
@@ -564,11 +563,16 @@ def make_hier_mesh(num_hosts: int, chips_per_host: int,
 
 def make_hier_train_step(mesh, model: HierNodeModel, plan: HierPlan):
     """(state, x, y, mask, plan, rng) → (state, loss): same psum'd-GD
-    semantics as ``make_dist_train_step`` over the 2-D mesh."""
+    semantics as ``make_dist_train_step`` over the 2-D mesh.  The task
+    follows ``model.classify`` (NLL vs masked L1 — the reference trains
+    node_reg through the same runners, ``run.py:508``)."""
     import functools
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    from fitgnn_tpu.train.losses import task_loss_sums
+
+    task = "classification" if model.classify else "regression"
     SH = P((HOST_AXIS, CHIP_AXIS))
     plan_spec = jax.tree_util.tree_map(lambda _: SH, plan)
 
@@ -585,10 +589,8 @@ def make_hier_train_step(mesh, model: HierNodeModel, plan: HierPlan):
         def loss_fn(params):
             out = model.apply(params, x, pb, train=True,
                               rngs={"dropout": rng})
-            picked = _pick_label_logprob(out, y)
-            mf = m.astype(out.dtype)
-            local_sum = jnp.sum(-picked * mf)
-            cnt = jax.lax.psum(jnp.sum(mf), (HOST_AXIS, CHIP_AXIS))
+            local_sum, local_cnt = task_loss_sums(task, out, y, m)
+            cnt = jax.lax.psum(local_cnt, (HOST_AXIS, CHIP_AXIS))
             return local_sum / jnp.maximum(cnt, 1.0)
 
         local_loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -600,11 +602,18 @@ def make_hier_train_step(mesh, model: HierNodeModel, plan: HierPlan):
 
 
 def make_hier_eval_step(mesh, model: HierNodeModel, plan: HierPlan):
-    """(state, x, y, mask, plan) → (loss, acc) over the 2-D mesh."""
+    """(state, x, y, mask, plan) → (loss, metric) over the 2-D mesh.
+    Classification metric = accuracy; regression metric = the reference's
+    std-normalized L1 with GLOBAL target moments (``run.py:110,168``)."""
     import functools
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    from fitgnn_tpu.train.losses import (task_loss_sums,
+                                         task_metric_from_sums,
+                                         task_metric_sums)
+
+    task = "classification" if model.classify else "regression"
     SH = P((HOST_AXIS, CHIP_AXIS))
     plan_spec = jax.tree_util.tree_map(lambda _: SH, plan)
 
@@ -618,16 +627,12 @@ def make_hier_eval_step(mesh, model: HierNodeModel, plan: HierPlan):
         y, m = yb[0], mb[0]
         pb = jax.tree_util.tree_map(lambda a: a[0], plan_b)
         out = model.apply(state.params, x, pb)
-        picked = _pick_label_logprob(out, y)
-        mf = m.astype(out.dtype)
-        loss_sum = jax.lax.psum(jnp.sum(-picked * mf),
-                                (HOST_AXIS, CHIP_AXIS))
-        correct = jax.lax.psum(jnp.sum(
-            (jnp.argmax(out, -1) == y).astype(out.dtype) * mf),
-            (HOST_AXIS, CHIP_AXIS))
-        cnt = jnp.maximum(jax.lax.psum(jnp.sum(mf),
-                                       (HOST_AXIS, CHIP_AXIS)), 1.0)
-        return loss_sum / cnt, correct / cnt
+        ls, c = task_loss_sums(task, out, y, m)
+        ms, ys, y2s = task_metric_sums(task, out, y, m)
+        ls, c, ms, ys, y2s = jax.lax.psum((ls, c, ms, ys, y2s),
+                                          (HOST_AXIS, CHIP_AXIS))
+        metric = task_metric_from_sums(task, ls, c, ms, ys, y2s)
+        return ls / jnp.maximum(c, 1.0), metric
 
     return jax.jit(step)
 

@@ -125,12 +125,9 @@ def _make_dist_steps(cfg, batches):
     import jax.sharding
     from fitgnn_tpu.parallel import mesh as pmesh
     from fitgnn_tpu.parallel.dist_subgraphs import (
-        make_dist_gs_eval_step_multi, make_dist_gs_train_step_multi,
-        pad_batch_to_shards)
+        make_dist_gs_eval_step_multi, make_dist_gs_train_epoch_mb,
+        make_dist_gs_train_step_multi, pad_batch_to_shards)
 
-    if cfg.gradient_method != "GD":
-        raise ValueError("num_devices > 1 supports gradient_method='GD' "
-                         "(one psum-reduced update per epoch)")
     devices = jax.devices()
     if len(devices) < cfg.num_devices:
         raise ValueError(
@@ -140,7 +137,13 @@ def _make_dist_steps(cfg, batches):
     mesh = jax.sharding.Mesh(np.array(devices[:cfg.num_devices]),
                              (pmesh.DATA_AXIS,))
     batches = tuple(pad_batch_to_shards(b, cfg.num_devices) for b in batches)
-    train = make_dist_gs_train_step_multi(mesh, batches, cfg.task)
+    if cfg.gradient_method == "MB":
+        # one psum-reduced optimizer step per batch_size-subgraph chunk
+        # (reference node_train_Gs_MB, run.py:217)
+        train = make_dist_gs_train_epoch_mb(mesh, batches, cfg.task,
+                                            batch_size=cfg.batch_size)
+    else:
+        train = make_dist_gs_train_step_multi(mesh, batches, cfg.task)
     evals = {s: make_dist_gs_eval_step_multi(mesh, batches, cfg.task, split=s)
              for s in ("val", "test")}
     return (lambda state, rng: train(state, batches, rng),
@@ -175,9 +178,6 @@ def _make_hier_gc_steps(cfg, coarse):
                                            shard_prebuilt_graph)
     from fitgnn_tpu.partition.community import leiden_communities
 
-    if cfg.task != "classification":
-        raise ValueError("the distributed Gc phase supports classification "
-                         "(like the distributed baseline)")
     H, P_ = cfg.num_hosts, cfg.num_devices
     if P_ % H:
         raise ValueError(f"num_devices {P_} must divide by num_hosts {H}")
@@ -219,7 +219,8 @@ def _make_hier_gc_steps(cfg, coarse):
                            cluster_of, interior_hybrid=ln != "GATConv")
     mesh = make_hier_mesh(H, D)
     hmodel = HierNodeModel(hidden=cfg.hidden, num_layers=cfg.num_layers,
-                           out_dim=cfg.out_dim, layer_name=ln)
+                           out_dim=cfg.out_dim, layer_name=ln,
+                           classify=cfg.task == "classification")
     train_step = make_hier_train_step(mesh, hmodel, plan)
     eval_step = make_hier_eval_step(mesh, hmodel, plan)
 
@@ -284,7 +285,7 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         gs_train_fn = lambda state, rng: dist_train(state, rng)  # noqa: E731
         gs_eval_fn = lambda state, split: dist_eval(state, split)  # noqa: E731
         if (cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train")
-                and coarse is not None and cfg.task == "classification"):
+                and coarse is not None):
             # the coarse phase shards over the hier mesh too — the full
             # curriculum is distributed (reference run.py:345-400 as the
             # distributed phase, SURVEY §2.4)

@@ -74,6 +74,41 @@ def masked_l1_sum(pred, target, mask):
     return jnp.sum(jnp.abs(pred - target) * m), jnp.sum(m)
 
 
+def task_loss_sums(task: str, out, y, mask):
+    """(Σ masked loss, masked count) for either task — the per-shard
+    partial of the global masked-mean loss every distributed step psums
+    (NLL for classification, L1 for regression; reference ``run.py:508``
+    trains node_reg through the same runners as node_cls)."""
+    if task == "classification":
+        return masked_nll_sum(out, y, mask)
+    return masked_l1_sum(out, y, mask)
+
+
+def task_metric_sums(task: str, out, y, mask):
+    """Per-shard partials of the global eval metric, to be psum'd:
+    ``(metric_sum, y_sum, y2_sum)``.  Classification: metric_sum = correct
+    count (y moments unused, zero).  Regression: the metric is the
+    reference's std-normalized L1 (``run.py:110,168``) whose std must use
+    the GLOBAL masked target moments — so ship Σm·y and Σm·y²."""
+    if task == "classification":
+        corr, _ = masked_correct_sum(out, y, mask)
+        return corr, jnp.zeros(()), jnp.zeros(())
+    m = mask.astype(out.dtype)
+    return jnp.zeros(()), jnp.sum(y * m), jnp.sum((y ** 2) * m)
+
+
+def task_metric_from_sums(task: str, loss_sum, count, metric_sum, y_sum,
+                          y2_sum):
+    """Finish the global metric from psum'd partials.  Classification:
+    accuracy.  Regression: std-normalized L1 over the global mask."""
+    count = jnp.maximum(count, 1.0)
+    if task == "classification":
+        return metric_sum / count
+    mean = y_sum / count
+    std = jnp.sqrt(jnp.maximum(y2_sum / count - mean ** 2, 0.0))
+    return (loss_sum / count) / jnp.maximum(std, 1e-12)
+
+
 def masked_correct_sum(log_probs, labels, mask):
     pred = jnp.argmax(log_probs, axis=-1)
     m = mask.astype(jnp.float32)
