@@ -40,28 +40,44 @@ def _sample_nodes(mask: np.ndarray, num_samples: int, seed: int) -> np.ndarray:
 
 
 def node_inference_benchmark(
-    model, params, batch: SubgraphBatch, parent: np.ndarray,
+    model, params, batch, parent: np.ndarray,
     test_mask: np.ndarray, y: np.ndarray, num_samples: int = 100,
     classify: bool = True, seed: int = 0,
+    subgraph_index: np.ndarray = None,
 ) -> InferenceReport:
-    """Time per-subgraph forwards for sampled test nodes."""
+    """Time per-subgraph forwards for sampled test nodes.
+
+    ``batch``: one SubgraphBatch, or a sequence of size-bucketed batches
+    with ``subgraph_index[meta] = (bucket, position)`` (the pipeline's
+    ``bucket=True`` layout) — one compiled executable per SAMPLED bucket."""
     nodes = _sample_nodes(np.asarray(test_mask, dtype=bool), num_samples, seed)
     sub_of_node = parent[nodes]                      # metanode == subgraph id
 
-    fwd = jax.jit(lambda p, x, g: model.apply(p, x, g))
-    # warm-up compile on subgraph 0
-    g0 = batch.subgraph(0)
-    fwd(params, g0.x, g0).block_until_ready()
+    buckets = ((batch,) if isinstance(batch, SubgraphBatch)
+               else tuple(batch))
+    if subgraph_index is None:
+        subgraph_index = np.stack(
+            [np.zeros(buckets[0].num_subgraphs, dtype=np.int64),
+             np.arange(buckets[0].num_subgraphs, dtype=np.int64)], axis=1)
 
-    orig = np.asarray(batch.orig_idx)
+    fwd = jax.jit(lambda p, x, g: model.apply(p, x, g))
+    # warm-up compile per sampled bucket shape (not in the timed loop)
+    for b in np.unique(subgraph_index[sub_of_node, 0]):
+        g0 = buckets[int(b)].subgraph(0)
+        fwd(params, g0.x, g0).block_until_ready()
+
+    origs = [np.asarray(b.orig_idx) for b in buckets]
     times, losses, correct = [], [], 0
     for node, s in zip(nodes, sub_of_node):
-        g = batch.subgraph(int(s))
+        b, pos = (int(subgraph_index[int(s), 0]),
+                  int(subgraph_index[int(s), 1]))
+        orig = origs[b]
+        g = buckets[b].subgraph(pos)
         t0 = time.perf_counter()
         out = fwd(params, g.x, g)
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
-        local = int(np.where(orig[int(s)] == node)[0][0])
+        local = int(np.where(orig[pos] == node)[0][0])
         row = np.asarray(out)[local]
         if classify:
             losses.append(-row[int(y[node])])

@@ -58,5 +58,12 @@ def max_subgraph_memory(batch: SubgraphBatch) -> MemoryRow:
     return MemoryRow("max_subgraph", _mb(real), _mb(padded))
 
 
-def memory_report(g: Graph, batch: SubgraphBatch) -> List[MemoryRow]:
-    return [full_graph_memory(g), max_subgraph_memory(batch)]
+def memory_report(g: Graph, batch) -> List[MemoryRow]:
+    """``batch``: one SubgraphBatch or a sequence of bucketed batches (the
+    max-subgraph row then maximizes across buckets; the padded number is the
+    max subgraph's own bucket slot, not the global pad)."""
+    if isinstance(batch, SubgraphBatch):
+        return [full_graph_memory(g), max_subgraph_memory(batch)]
+    rows = [max_subgraph_memory(b) for b in batch]
+    best = max(rows, key=lambda r: r.real_mb)
+    return [full_graph_memory(g), best]

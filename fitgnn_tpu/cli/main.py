@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--experiment", type=str, default="fixed")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--output_dir", type=str, default="out")
+        sp.add_argument("--bucket_sizes", action="store_true",
+                        help="size-bucket the subgraph batches (pad within "
+                        "power-of-two node-count buckets): padding waste "
+                        "bounded to 2x instead of max-size x count — "
+                        "required at products scale, where the single-pad "
+                        "batch is tens of GB of zeros")
         return sp
 
     t = common(sub.add_parser("train"))
@@ -246,7 +252,8 @@ def _partition(args, ds, train, val, test, num_classes):
             reduction=1.0 - args.coarsening_ratio,  # reference ratio semantics
             method=args.coarsening_method, mode=_node_mode(args), task=task,
             num_classes=num_classes, train_mask=train, val_mask=val,
-            test_mask=test, seed=args.seed)
+            test_mask=test, seed=args.seed,
+            bucket=getattr(args, "bucket_sizes", False))
 
     cache = ArtifactCache(os.path.join(args.data_root, args.dataset, "saved"))
     # the full split masks are baked into the cached SubgraphBatch, so they
@@ -261,7 +268,8 @@ def _partition(args, ds, train, val, test, num_classes):
          "y": np.asarray(ds.y)[:1000], "train_mask": _mask_arr(train),
          "val_mask": _mask_arr(val), "test_mask": _mask_arr(test)},
         {"ratio": args.coarsening_ratio, "method": args.coarsening_method,
-         "mode": _node_mode(args), "task": args.task, "seed": args.seed})
+         "mode": _node_mode(args), "task": args.task, "seed": args.seed,
+         "bucket": getattr(args, "bucket_sizes", False)})
     part, hit = cache.load_or_compute(key, compute)
     if hit:
         print(f"partition artifacts loaded from cache ({key})",
@@ -341,7 +349,8 @@ def cmd_train(args) -> int:
         num_devices=args.num_devices,
         num_hosts=args.num_hosts,
         early_stopping=args.early_stopping,
-        fused_epochs=args.fused_epochs)
+        fused_epochs=args.fused_epochs,
+        bucket_sizes=args.bucket_sizes)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     print(f"checkpoint saved: {save_path}")
     s = res.summary
@@ -745,8 +754,10 @@ def cmd_infer(args, baseline: bool = False) -> int:
             num_samples=args.num_test_samples, classify=classify,
             seed=args.seed)
     else:
+        from fitgnn_tpu.graph.container import SubgraphBatch
         part = _partition(args, ds, train, val, test, num_classes)
-        g0 = part.subgraphs.subgraph(0)
+        g0 = (part.subgraphs if isinstance(part.subgraphs, SubgraphBatch)
+              else part.subgraphs[0]).subgraph(0)
         params = model.init(jax.random.PRNGKey(args.seed), g0.x, g0)
         if ckpt:
             from fitgnn_tpu.train.checkpoint import restore_params
@@ -754,7 +765,7 @@ def cmd_infer(args, baseline: bool = False) -> int:
         rep = node_inference_benchmark(
             model, params, part.subgraphs, part.parent, test, ds.y,
             num_samples=args.num_test_samples, classify=classify,
-            seed=args.seed)
+            seed=args.seed, subgraph_index=part.subgraph_index)
 
     tag = "baseline" if baseline else "fitgnn"
     row = R.format_row(R.INFERENCE_HEADER, {
@@ -863,8 +874,15 @@ def cmd_save_graphs(args) -> int:
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)
+    from fitgnn_tpu.graph.container import SubgraphBatch
+    if isinstance(part.subgraphs, SubgraphBatch):
+        desc = f"{part.subgraphs.num_subgraphs} subgraphs"
+    else:
+        desc = (f"{sum(b.num_subgraphs for b in part.subgraphs)} subgraphs "
+                f"in {len(part.subgraphs)} size buckets "
+                f"{[b.num_nodes_padded for b in part.subgraphs]}")
     print(f"partition artifacts cached ({part.num_metanodes} metanodes, "
-          f"{part.subgraphs.num_subgraphs} subgraphs)")
+          f"{desc})")
     return 0
 
 

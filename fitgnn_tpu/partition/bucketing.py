@@ -33,14 +33,36 @@ def bucket_subgraphs(
     are identical to one ``pad_subgraphs`` call: the union of consuming nodes
     over buckets is the same exact cover.
     """
+    batches, _ = bucket_subgraphs_with_index(
+        specs, y=y, train_mask=train_mask, val_mask=val_mask,
+        test_mask=test_mask, min_bucket=min_bucket, **pad_kwargs)
+    return batches
+
+
+def bucket_subgraphs_with_index(
+    specs: Sequence[SubgraphSpec],
+    y: Optional[np.ndarray] = None,
+    train_mask: Optional[np.ndarray] = None,
+    val_mask: Optional[np.ndarray] = None,
+    test_mask: Optional[np.ndarray] = None,
+    min_bucket: int = 32,
+    **pad_kwargs,
+):
+    """Like ``bucket_subgraphs``, also returning the placement index:
+    ``index[i] = (bucket, position)`` of input spec ``i`` — so callers that
+    address subgraphs by their original id (the node→metanode ``parent``
+    map, inference sampling) keep working on bucketed batches."""
     sizes = np.array([s.num_nodes for s in specs])
     caps = np.maximum(
         min_bucket,
         2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64))
     batches: List[SubgraphBatch] = []
-    for cap in np.unique(caps):
-        sel = [spec for spec, c in zip(specs, caps) if c == cap]
+    index = np.zeros((len(specs), 2), dtype=np.int64)
+    for b, cap in enumerate(np.unique(caps)):
+        sel = np.flatnonzero(caps == cap)
+        index[sel, 0] = b
+        index[sel, 1] = np.arange(len(sel))
         batches.append(pad_subgraphs(
-            sel, y=y, train_mask=train_mask, val_mask=val_mask,
-            test_mask=test_mask, **pad_kwargs))
-    return batches
+            [specs[i] for i in sel], y=y, train_mask=train_mask,
+            val_mask=val_mask, test_mask=test_mask, **pad_kwargs))
+    return batches, index

@@ -50,8 +50,12 @@ class CoarseData:
 class PartitionedDataset:
     parent: np.ndarray                # (N,) global node → metanode
     coarse: Optional[CoarseData]      # None when no component qualifies
-    subgraphs: SubgraphBatch
+    subgraphs: SubgraphBatch          # or tuple of size-bucketed batches
+                                      # (``coarsen_and_partition(bucket=True)``)
     num_metanodes: int
+    # with bucket=True: (num_meta, 2) — (bucket, position) of metanode i's
+    # subgraph, so id-addressed consumers (inference sampling) keep working
+    subgraph_index: Optional[np.ndarray] = None
 
 
 def _component_adjacency(senders: np.ndarray, receivers: np.ndarray,
@@ -84,6 +88,7 @@ def coarsen_and_partition(
     min_coarsen_size: int = 10,
     node_pad_to: int = 8,
     edge_pad_to: int = 128,
+    bucket: bool = False,
 ) -> PartitionedDataset:
     N = x.shape[0]
     W = _component_adjacency(senders, receivers, N)
@@ -134,6 +139,19 @@ def coarsen_and_partition(
     specs = extract_subgraphs(W, x, parent, mode=mode,
                               coarse_x=coarse_x_global,
                               coarse_W=coarse_W_global)
+    if bucket:
+        # size-bucketed batches: padding waste bounded to 2x instead of
+        # max-size x count (at products scale the single-pad batch is
+        # tens of GB of zeros; buckets keep it near the real payload)
+        from fitgnn_tpu.partition.bucketing import bucket_subgraphs_with_index
+        batches, index = bucket_subgraphs_with_index(
+            specs, y=y, train_mask=train_mask, val_mask=val_mask,
+            test_mask=test_mask, node_pad_to=node_pad_to,
+            edge_pad_to=edge_pad_to)
+        return PartitionedDataset(parent=parent, coarse=coarse,
+                                  subgraphs=tuple(batches),
+                                  num_metanodes=num_meta,
+                                  subgraph_index=index)
     batch = pad_subgraphs(specs, y=y, train_mask=train_mask,
                           val_mask=val_mask, test_mask=test_mask,
                           node_pad_to=node_pad_to, edge_pad_to=edge_pad_to)
