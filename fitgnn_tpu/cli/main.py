@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GCN/SAGE/GIN --baseline: fold layer-0 aggregation "
                         "into ingest (exact — input features are constant; "
                         "removes one SpMM from every step)")
+    t.add_argument("--eval_chunk", type=int, default=0,
+                   help="Gs eval scans subgraph-axis chunks of this size "
+                   "(bounds activation memory at products scale); 0 = "
+                   "whole-bucket vmap")
     t.add_argument("--fused_epochs", action="store_true",
                    help="run the Gc phase as one jitted lax.scan over "
                         "epochs (one dispatch per phase; ignored when "
@@ -350,7 +354,8 @@ def cmd_train(args) -> int:
         num_hosts=args.num_hosts,
         early_stopping=args.early_stopping,
         fused_epochs=args.fused_epochs,
-        bucket_sizes=args.bucket_sizes)
+        bucket_sizes=args.bucket_sizes,
+        eval_chunk=args.eval_chunk)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     print(f"checkpoint saved: {save_path}")
     s = res.summary
@@ -565,10 +570,11 @@ def _cmd_train_baseline_dist(args, ds, train, val, test,
     shard_idx = np.arange(n_pad_total) // n_loc
     pair = shard_idx * (int(lab_ordered.max()) + 2) + lab_ordered
     _, cluster_of = np.unique(pair, return_inverse=True)
+    from fitgnn_tpu.graph.optimize import _LAYER_SEMANTICS as _SEM
     plan = build_hier_plan(np.asarray(sg.senders), np.asarray(sg.receivers),
                            np.asarray(sg.edge_weight), H, D, n_loc,
-                           cluster_of,
-                           interior_hybrid=args.layer_name != "GATConv")
+                           cluster_of, interior_hybrid=True,
+                           interior_semantics=_SEM[args.layer_name])
     mesh = make_hier_mesh(H, D)
     classify = args.task == "node_cls"
     model = HierNodeModel(hidden=args.hidden, num_layers=args.num_layers1,

@@ -266,7 +266,10 @@ _straggler_attention_fused.defvjp(_strag_fused_fwd, _strag_fused_bwd)
 
 def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
                        h: jnp.ndarray, negative_slope: float,
-                       att_src: jnp.ndarray | None = None) -> jnp.ndarray:
+                       att_src: jnp.ndarray | None = None,
+                       partials: bool = False,
+                       src_score_bound: jnp.ndarray | None = None,
+                       extra_rowmax: jnp.ndarray | None = None):
     """Single-head GAT aggregation through ``aux`` (a HybridSpmm with
     ``semantics='att_unit'``: presence tiles + straggler edge lists).
 
@@ -277,7 +280,16 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     scalar gather of ``score_src``: the rows are fetched for the numerator
     anyway, so the unsorted 4-byte-row gather (row-rate-bound) and its
     backward scalar scatter disappear; the score gradient rides the
-    message rows' vectorized path.  Returns (N, F)."""
+    message rows' vectorized path.  Returns (N, F).
+
+    ``partials=True`` returns the pre-normalization ``(num, den, m)``
+    triple instead, so a caller can fold in edges this operator does not
+    see (the hierarchical layer's halo/summary edges) before normalizing —
+    the softmax then spans ALL of a receiver's edges exactly.  For that to
+    be safe the stabilizer must bound the external scores too:
+    ``src_score_bound`` overrides the global-max bound's ``max(score_src)``
+    (pass the max over every sender table), and ``extra_rowmax`` folds a
+    (N,) per-receiver bound into the exact-max branch."""
     bsr = aux.bsr
     n = aux.num_nodes
     f = h.shape[-1]
@@ -295,7 +307,7 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
     use_fused_bwd = (_FUSED_BWD and _GLOBAL_MAX and att_src is not None
                      and sorted_bwd and not use_segmm and not use_segmm_den
                      and not _SORTED_NUM and not _SORTED_SRC
-                     and not _FUSED_TILES)
+                     and not _FUSED_TILES and not partials)
     if use_fused_bwd:
         # one augmented row scatter for num+den (+ the leaky'-weighted
         # num'/den' residuals); ALL per-edge scalar segment ops disappear
@@ -335,7 +347,10 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         # pass (which materialized the (K,b,b) score tensor in XLA).
         # Edges whose true score sits far below the row bound underflow
         # exp() to 0 — exactly the weights softmax would send to ~0 anyway.
-        maxs = jax.lax.stop_gradient(jnp.max(score_src.astype(jnp.float32)))
+        maxs = (jnp.asarray(src_score_bound, jnp.float32)
+                if src_score_bound is not None
+                else jnp.max(score_src.astype(jnp.float32)))
+        maxs = jax.lax.stop_gradient(maxs)
         m = jax.lax.stop_gradient(
             jnp.maximum(score_dst.astype(jnp.float32) + maxs, 0.0))
         m_e = jax.lax.stop_gradient(jnp.maximum(sdst_e + maxs, 0.0))
@@ -392,6 +407,10 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
                             leaky(score_dst.astype(jnp.float32)[:, None]
                                   + ssrc_c[None, :]), _NEG)
             m = jnp.maximum(m, jnp.max(e_c, axis=1))
+        if extra_rowmax is not None:
+            # external edges (e.g. hierarchical halo/summary) share this
+            # receiver's softmax: their row maxima must bound m too
+            m = jnp.maximum(m, extra_rowmax.astype(jnp.float32))
         m = jax.lax.stop_gradient(jnp.maximum(m, _NEG))
         m_e = _take_rows(m, aux.receivers, sorted_idx=True)
 
@@ -433,11 +452,11 @@ def tile_gat_attention(aux, score_src: jnp.ndarray, score_dst: jnp.ndarray,
         den = num_aug[:, f].astype(jnp.float32)
 
     return _finish_tiles(aux, score_src, score_dst, h, negative_slope, m,
-                         num, den, fused=fused)
+                         num, den, fused=fused, partials=partials)
 
 
 def _finish_tiles(aux, score_src, score_dst, h, negative_slope, m, num, den,
-                  fused: bool = False):
+                  fused: bool = False, partials: bool = False):
     """Add the tile-dense attention contributions to the straggler
     (num, den) partials and normalize."""
     bsr = aux.bsr
@@ -534,5 +553,7 @@ def _finish_tiles(aux, score_src, score_dst, h, negative_slope, m, num, den,
             jnp.sum(pe, axis=2), rows, num_segments=nb,
             indices_are_sorted=True).reshape(n)
 
+    if partials:
+        return num, den, m
     den = jnp.maximum(den, 1e-16).astype(h.dtype)
     return num / den[:, None]

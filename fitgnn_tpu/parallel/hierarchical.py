@@ -105,7 +105,8 @@ def _pad_tail(a, n, fill_last: bool = False):
     return np.concatenate([a, tail], axis=0)
 
 
-def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
+def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150,
+                         semantics: str = "gcn_norm"):
     """Build per-shard hybrid operators for the interior edge lists and
     stack them (uniform leaf shapes, leading shard axis) so the structure
     shards over the mesh like every other HierPlan leaf.
@@ -114,15 +115,26 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
     (same-row run → no spurious re-init, zero contribution); segmm pads
     with zero-weight chunks repeating the last group id; COO lists pad
     zero-weight edges repeating the last receiver (sortedness preserved).
+
+    ``semantics='att_unit'`` builds GAT presence structures (consumed by
+    ``tile_gat_attention`` partials in ``hier_attention_aggregate``); the
+    per-shard ``dyn_plan`` is stripped (its ragged walk plans don't stack;
+    the XLA einsum tile path applies instead) and segmm stays off (the
+    straggler numerator path with the best measured backward at GAT widths
+    is the y-reuse augmented scatter).
     """
     import jax.tree_util as jtu
     from fitgnn_tpu.ops.hybrid_spmm import build_hybrid
 
+    att = semantics == "att_unit"
     n_pad = -(-n_loc // 128) * 128
     hybs = [build_hybrid(np.asarray(s, np.int64), np.asarray(r, np.int64),
                          np.asarray(w, np.float32), n_pad,
-                         min_block_edges=min_block_edges, use_segmm=True)
+                         min_block_edges=min_block_edges, use_segmm=not att,
+                         semantics=semantics)
             for s, r, w in zip(ints, intr, intw)]
+    if att:
+        hybs = [h.replace(dyn_plan=None) for h in hybs]
     # uniform pytree structure across shards: a shard with no dense tile
     # gets a filler-only BSR (zero tiles, full row coverage — inert)
     from fitgnn_tpu.ops.pallas.bsr_spmm import build_bsr
@@ -153,11 +165,12 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
 
     kf = max(int(h.bsr.nnz_blocks) for h in hybs)
     kt = max(int(h.bsr.transpose.nnz_blocks) for h in hybs)
-    ncf = max(int(h.segmm.num_chunks) for h in hybs)
-    nct = max(int(h.t_segmm.num_chunks) for h in hybs)
     ne = max(int(h.num_coo_edges) for h in hybs)
-    nfs = max(int(h.segmm.first_slot.shape[0]) for h in hybs)
-    nfst = max(int(h.t_segmm.first_slot.shape[0]) for h in hybs)
+    if not att:
+        ncf = max(int(h.segmm.num_chunks) for h in hybs)
+        nct = max(int(h.t_segmm.num_chunks) for h in hybs)
+        nfs = max(int(h.segmm.first_slot.shape[0]) for h in hybs)
+        nfst = max(int(h.t_segmm.first_slot.shape[0]) for h in hybs)
 
     padded = []
     for h in hybs:
@@ -165,8 +178,8 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150):
             transpose=pad_bsr(h.bsr.transpose, kt))
         padded.append(h.replace(
             bsr=bsr,
-            segmm=pad_segmm(h.segmm, ncf, nfs),
-            t_segmm=pad_segmm(h.t_segmm, nct, nfst),
+            segmm=None if att else pad_segmm(h.segmm, ncf, nfs),
+            t_segmm=None if att else pad_segmm(h.t_segmm, nct, nfst),
             senders=jnp.asarray(_pad_tail(np.asarray(h.senders), ne,
                                           fill_last=True)),
             receivers=jnp.asarray(_pad_tail(np.asarray(h.receivers), ne,
@@ -188,7 +201,8 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
                     cluster_of: np.ndarray, summary: str = "mean",
                     pad_to: int = 8,
                     interior_hybrid: bool = True,
-                    min_block_edges: int = 150) -> HierPlan:
+                    min_block_edges: int = 150,
+                    interior_semantics: str = "gcn_norm") -> HierPlan:
     """Build the three-way edge split + exchange tables (host-side).
 
     ``senders_global``/``receivers_local``/``edge_weight``: the
@@ -319,7 +333,8 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
     ss_, sr2, sw_ = pad_edges(sus_, sur_, suw_)
 
     int_hybrid = (_stack_shard_hybrids(ints, intr, intw, n_loc,
-                                       min_block_edges=min_block_edges)
+                                       min_block_edges=min_block_edges,
+                                       semantics=interior_semantics)
                   if interior_hybrid else None)
 
     return HierPlan(
@@ -402,6 +417,9 @@ def hier_attention_aggregate(h: jnp.ndarray, plan_b: HierPlan,
     attention analog of the reference's cluster_node features
     ``utils.py:191-232``).  Receiver-partitioned edges make the softmax
     exact for num_hosts == 1 (no summary edges)."""
+    hyb = plan_b.int_hybrid
+    if hyb is not None and getattr(hyb, "semantics", None) == "att_unit":
+        return _hier_tile_attention(h, plan_b, a_src, a_dst, negative_slope)
     n_loc = h.shape[0]
     halo, summaries = _hier_tables(h, plan_b)
     table = jnp.concatenate([h, halo, summaries], axis=0)
@@ -425,6 +443,85 @@ def hier_attention_aggregate(h: jnp.ndarray, plan_b: HierPlan,
                             indices_are_sorted=False)
     return segment_sum(y * alpha[:, None].astype(y.dtype), receivers, n_loc,
                        indices_are_sorted=False)
+
+
+def _hier_tile_attention(h: jnp.ndarray, plan_b: HierPlan,
+                         a_src: jnp.ndarray, a_dst: jnp.ndarray,
+                         negative_slope: float) -> jnp.ndarray:
+    """Hier GAT with the INTERIOR edges on the tile-dense attention operator
+    (``ops.tile_gat.tile_gat_attention`` partials — the same MXU path the
+    single-chip GAT runs) and only the halo/summary edges on the per-edge
+    path.  The softmax is the SAME per-receiver softmax over all three edge
+    classes: the tile partials and the per-edge partials share one
+    stabilizer ``m`` that bounds every sender table (local, halo, summary),
+    so the combined normalization is exact (softmax shift-invariance).
+    Semantics identical to the per-edge branch of
+    ``hier_attention_aggregate``; parity gated by tests/test_hierarchical.py.
+    """
+    from fitgnn_tpu.ops.tile_gat import tile_gat_attention
+
+    hyb = plan_b.int_hybrid
+    n_loc = h.shape[0]
+    n_pad = hyb.num_nodes
+    halo, summaries = _hier_tables(h, plan_b)
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    f32 = jnp.float32
+    hp = jnp.pad(h, ((0, n_pad - n_loc), (0, 0))) if n_pad != n_loc else h
+    s_src = hp.astype(f32) @ a_src.astype(f32)              # (n_pad,)
+    s_dst = hp.astype(f32) @ a_dst.astype(f32)
+    s_src_halo = halo.astype(f32) @ a_src.astype(f32)       # (D·K,)
+    s_src_sum = summaries.astype(f32) @ a_src.astype(f32)   # (P·C,)
+
+    # one bound covering EVERY sender table (padding rows score 0; the
+    # global-max stabilizer already clamps at 0, so they cannot raise it
+    # beyond what max(0, ·) allows)
+    bound = jnp.maximum(jnp.max(s_src),
+                        jnp.maximum(jnp.max(s_src_halo), jnp.max(s_src_sum)))
+    bound = jax.lax.stop_gradient(bound)
+
+    # per-edge scores for the halo/summary classes
+    mask_h = plan_b.halo_weights > 0
+    mask_s = plan_b.sum_weights > 0
+    sdst_loc = s_dst[:n_loc]
+    es_h = leaky(s_src_halo[plan_b.halo_senders]
+                 + sdst_loc[plan_b.halo_receivers])
+    es_s = leaky(s_src_sum[plan_b.sum_senders]
+                 + sdst_loc[plan_b.sum_receivers])
+    neg = jnp.float32(-1e30)
+    from fitgnn_tpu.ops.segment import segment_max
+    ext_m = jnp.maximum(
+        segment_max(jnp.where(mask_h, es_h, neg), plan_b.halo_receivers,
+                    n_loc, indices_are_sorted=False),
+        segment_max(jnp.where(mask_s, es_s, neg), plan_b.sum_receivers,
+                    n_loc, indices_are_sorted=False))
+    ext_m = (jnp.pad(ext_m, (0, n_pad - n_loc), constant_values=0.0)
+             if n_pad != n_loc else ext_m)
+
+    num, den, m = tile_gat_attention(hyb, s_src, s_dst, hp, negative_slope,
+                                     att_src=a_src, partials=True,
+                                     src_score_bound=bound,
+                                     extra_rowmax=ext_m)
+    num, den, m = num[:n_loc], den[:n_loc], m[:n_loc]
+
+    pes_h = (jnp.exp(es_h - m[plan_b.halo_receivers])
+             * mask_h.astype(f32))
+    pes_s = (jnp.exp(es_s - m[plan_b.sum_receivers])
+             * mask_s.astype(f32))
+    num = num + segment_sum(
+        halo[plan_b.halo_senders] * pes_h[:, None].astype(h.dtype),
+        plan_b.halo_receivers, n_loc, indices_are_sorted=False)
+    num = num + segment_sum(
+        summaries[plan_b.sum_senders] * pes_s[:, None].astype(h.dtype),
+        plan_b.sum_receivers, n_loc, indices_are_sorted=False)
+    den = den + segment_sum(pes_h, plan_b.halo_receivers, n_loc,
+                            indices_are_sorted=False)
+    den = den + segment_sum(pes_s, plan_b.sum_receivers, n_loc,
+                            indices_are_sorted=False)
+    den = jnp.maximum(den, 1e-16).astype(h.dtype)
+    return num / den[:, None]
 
 
 class HierGCNConv(nn.Module):

@@ -108,6 +108,19 @@ class NodeTaskConfig:
                                           # loss; 0 = off (the reference
                                           # parses --early_stopping but
                                           # never uses it, main.py:189)
+    eval_chunk: int = 0                   # >0: Gs eval scans subgraph-axis
+                                          # chunks of this size (bounds
+                                          # activation memory; products-scale
+                                          # buckets hold ~80k subgraphs)
+    chunk_elem_budget: int = 1 << 28      # static per-chunk activation
+                                          # budget in ELEMENTS: the vmapped
+                                          # convs materialize (chunk, E_pad,
+                                          # hidden) per-edge messages, so MB
+                                          # batch size and eval chunk are
+                                          # capped at budget/(E_pad·hidden)
+                                          # per bucket (256M ≈ 1 GB f32 per
+                                          # buffer; binds only at products
+                                          # scale)
     fused_epochs: bool = False            # run the Gc phase as ONE jitted
                                           # lax.scan over epochs (best-val
                                           # tracking in the carry) — one
@@ -216,7 +229,8 @@ def _make_hier_gc_steps(cfg, coarse):
     _, cluster_of = np.unique(pair, return_inverse=True)
     plan = build_hier_plan(np.asarray(sg.senders), np.asarray(sg.receivers),
                            np.asarray(sg.edge_weight), H, D, n_loc,
-                           cluster_of, interior_hybrid=ln != "GATConv")
+                           cluster_of, interior_hybrid=True,
+                           interior_semantics=_LAYER_SEMANTICS[ln])
     mesh = make_hier_mesh(H, D)
     hmodel = HierNodeModel(hidden=cfg.hidden, num_layers=cfg.num_layers,
                            out_dim=cfg.out_dim, layer_name=ln,
@@ -235,13 +249,20 @@ def _make_hier_gc_steps(cfg, coarse):
     return train_fn, val_fn
 
 
+def _chunk_cap(cfg, batch) -> int:
+    """Largest subgraph-axis chunk whose (chunk, E_pad, hidden) per-edge
+    message buffers stay inside ``cfg.chunk_elem_budget`` elements."""
+    e_pad = batch.senders.shape[-1]
+    return max(1, cfg.chunk_elem_budget // max(1, e_pad * cfg.hidden))
+
+
 def _gs_train_epoch(state, batches, rng, cfg):
     if len(batches) == 1:
         batch = batches[0]
         if cfg.gradient_method == "GD":
             return steps.gs_train_step_gd(state, batch, rng, cfg.task,
                                           reduction=cfg.loss_reduction)
-        bs = min(cfg.batch_size, batch.num_subgraphs)
+        bs = min(cfg.batch_size, batch.num_subgraphs, _chunk_cap(cfg, batch))
         return steps.gs_train_epoch_mb(state, batch, rng, cfg.task,
                                        batch_size=bs,
                                        reduction=cfg.loss_reduction)
@@ -250,7 +271,7 @@ def _gs_train_epoch(state, batches, rng, cfg):
     # MB over buckets: step through each bucket's chunks in turn
     total = 0.0
     for i, b in enumerate(batches):
-        bs = min(cfg.batch_size, b.num_subgraphs)
+        bs = min(cfg.batch_size, b.num_subgraphs, _chunk_cap(cfg, b))
         state, loss = steps.gs_train_epoch_mb(
             state, b, jax.random.fold_in(rng, i), cfg.task, batch_size=bs,
             reduction=cfg.loss_reduction)
@@ -258,10 +279,15 @@ def _gs_train_epoch(state, batches, rng, cfg):
     return state, total
 
 
-def _gs_eval(state, batches, task, split):
-    if len(batches) == 1:
+def _gs_eval(state, batches, task, split, chunk: int = 0, cfg=None):
+    if len(batches) == 1 and not chunk:
         return steps.gs_eval_step(state, batches[0], task, split=split)
-    return steps.gs_eval_step_multi(state, batches, task, split=split)
+    if chunk and cfg is not None:
+        # per-bucket chunk: the user cap further bounded by the activation
+        # budget (edge-heavy buckets need smaller chunks)
+        chunk = tuple(min(chunk, _chunk_cap(cfg, b)) for b in batches)
+    return steps.gs_eval_step_multi(state, batches, task, split=split,
+                                    chunk=chunk)
 
 
 def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
@@ -291,10 +317,23 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             # distributed phase, SURVEY §2.4)
             hier_gc = _make_hier_gc_steps(cfg, coarse)
     else:
+        # commit the (possibly host-cached numpy) batches and coarse data
+        # to the device ONCE — numpy jit operands re-transfer every call,
+        # which at products scale re-ships GBs per epoch through the host
+        # link
+        batches = jax.device_put(batches)
+        if coarse is not None:
+            import dataclasses as _dc
+            coarse = _dc.replace(
+                coarse, graph=jax.device_put(coarse.graph),
+                y_train=jax.device_put(coarse.y_train),
+                train_mask=jax.device_put(coarse.train_mask),
+                y_val=jax.device_put(coarse.y_val),
+                val_mask=jax.device_put(coarse.val_mask))
         gs_train_fn = lambda state, rng: _gs_train_epoch(  # noqa: E731
             state, batches, rng, cfg)
         gs_eval_fn = lambda state, split: _gs_eval(  # noqa: E731
-            state, batches, cfg.task, split)
+            state, batches, cfg.task, split, chunk=cfg.eval_chunk, cfg=cfg)
 
     results: List[RunResult] = []
     for run in range(cfg.runs):

@@ -232,38 +232,71 @@ def gs_train_step_gd_multi(state: TrainState, batches, rng, task: str):
     return state.apply_gradients(grads=grads), val
 
 
-@functools.partial(jax.jit, static_argnames=("task", "split"))
+def _bucket_eval_sums(apply_fn, params, b: SubgraphBatch, task: str,
+                      split: str, chunk: int = 0):
+    """One bucket's (loss_sum, count, metric_sum, y_sum, y2_sum).
+
+    ``chunk > 0``: lax.scan over subgraph-axis chunks of that size —
+    activation memory is bounded by ``chunk × N_pad × hidden`` instead of
+    the whole bucket (at products scale the dominant bucket holds ~80k
+    subgraphs; a full-bucket vmap materializes tens of GB)."""
+    from fitgnn_tpu.train.losses import task_loss_sums, task_metric_sums
+
+    def sums(bi):
+        mask = bi.val_mask if split == "val" else bi.test_mask
+        out = _vmapped_out(apply_fn, params, bi, False, None)
+        s, c = task_loss_sums(task, out, bi.y, mask)
+        ms, ys, y2s = task_metric_sums(task, out, bi.y, mask)
+        return s, c, ms, ys, y2s
+
+    s_tot = b.num_subgraphs
+    if not chunk or s_tot <= chunk:
+        return sums(b)
+    k = -(-s_tot // chunk)
+    pad = k * chunk - s_tot
+
+    def pad_chunk(a):
+        if a is None:
+            return None
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths).reshape((k, chunk) + a.shape[1:])
+
+    cb = jax.tree_util.tree_map(pad_chunk, b)
+
+    def body(carry, bi):
+        return tuple(c + v for c, v in zip(carry, sums(bi))), None
+
+    zeros = tuple(jnp.zeros(()) for _ in range(5))
+    carry, _ = jax.lax.scan(body, zeros, cb)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("task", "split", "chunk"))
 def gs_eval_step_multi(state: TrainState, batches, task: str,
-                       split: str = "val"):
-    """Masked loss + metric over all buckets' consuming split nodes."""
-    from fitgnn_tpu.train.losses import (masked_correct_sum, masked_l1_sum,
-                                         masked_nll_sum)
-    loss_s = 0.0
-    metric_s = 0.0
-    count = 0.0
+                       split: str = "val", chunk=0):
+    """Masked loss + metric over all buckets' consuming split nodes.
+    ``chunk``: see ``_bucket_eval_sums`` (0 = whole-bucket vmap); an int
+    applies to every bucket, a tuple gives a per-bucket chunk (edge-heavy
+    buckets need smaller chunks for the same activation budget)."""
+    chunks = chunk if isinstance(chunk, tuple) else (chunk,) * len(batches)
+    loss_s = metric_s = count = 0.0
     y_s = 0.0      # Σ y·m / Σ y²·m across buckets — the std-normalized
     y2_s = 0.0     # regression metric needs GLOBAL target moments
-    for b in batches:
-        mask = b.val_mask if split == "val" else b.test_mask
-        out = _vmapped_out(state.apply_fn, state.params, b, False, None)
-        if task == "classification":
-            s, c = masked_nll_sum(out, b.y, mask)
-            corr, _ = masked_correct_sum(out, b.y, mask)
-            metric_s += corr
-        else:
-            s, c = masked_l1_sum(out, b.y, mask)
-            m = mask.astype(out.dtype)
-            y_s += jnp.sum(b.y * m)
-            y2_s += jnp.sum((b.y ** 2) * m)
+    for b, ck in zip(batches, chunks):
+        s, c, ms, ys, y2s = _bucket_eval_sums(state.apply_fn, state.params,
+                                              b, task, split, ck)
         loss_s += s
         count += c
+        metric_s += ms
+        y_s += ys
+        y2_s += y2s
     count = jnp.maximum(count, 1.0)
     loss = loss_s / count
     if task == "classification":
         return loss, metric_s / count
     mean = y_s / count
     std = jnp.sqrt(jnp.maximum(y2_s / count - mean ** 2, 0.0))
-    return loss, loss / jnp.maximum(std, 1e-12)
+    return loss, (loss_s / count) / jnp.maximum(std, 1e-12)
 
 
 @functools.partial(jax.jit, static_argnames=("task", "split"))

@@ -31,6 +31,35 @@ def content_key(arrays: Mapping[str, np.ndarray],
     return h.hexdigest()[:20]
 
 
+def _to_host(obj: Any) -> Any:
+    """Replace every jax array in a pytree with its numpy value before
+    pickling.  Pickled ``jax.Array``s re-``device_put`` themselves at LOAD
+    time — at products scale that eagerly pushes a multi-GB artifact to the
+    accelerator (and fails outright when the artifact is opened on a
+    host-only process); numpy leaves stay on host until a jit consumes
+    them.  Recursion handles the artifact types jax's tree_map cannot
+    traverse (plain dataclasses like PartitionedDataset/CoarseData)."""
+    import dataclasses
+
+    import jax
+
+    if isinstance(obj, jax.Array):
+        return np.asarray(obj)
+    if isinstance(obj, tuple):
+        vals = [_to_host(v) for v in obj]
+        return type(obj)(*vals) if hasattr(obj, "_fields") \
+            else type(obj)(vals)
+    if isinstance(obj, list):
+        return [_to_host(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _to_host(v) for k, v in obj.items()}
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return dataclasses.replace(obj, **{
+            f.name: _to_host(getattr(obj, f.name))
+            for f in dataclasses.fields(obj) if f.init})
+    return obj
+
+
 class ArtifactCache:
     def __init__(self, root: str = "./artifacts_cache"):
         self.root = root
@@ -49,7 +78,7 @@ class ArtifactCache:
         os.makedirs(self.root, exist_ok=True)
         tmp = self._path(key) + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(obj, f)
+            pickle.dump(_to_host(obj), f)
         os.replace(tmp, self._path(key))
 
     def load_or_compute(self, key: str, fn):

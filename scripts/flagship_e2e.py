@@ -85,7 +85,14 @@ def synth(ws: str):
 
 def cli(ws: str, argv, platform=None, tee=None):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    parts = [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                      if p]
+    # the TPU tunnel's PJRT plugin registers via sitecustomize on this path;
+    # losing it silently downgrades the run to CPU-only backends
+    axon = "/root/.axon_site"
+    if os.path.isdir(axon) and axon not in parts:
+        parts.append(axon)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
     if platform:
         env["JAX_PLATFORMS"] = platform
     print(f"$ fitgnn-tpu {' '.join(argv)}", flush=True)
@@ -109,7 +116,8 @@ def main():
                              "memory"])
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs2", type=int, default=20)
-    ap.add_argument("--batch_size", type=int, default=4096)
+    ap.add_argument("--batch_size", type=int, default=2048)
+    ap.add_argument("--eval_chunk", type=int, default=8192)
     ap.add_argument("--platform", default=None,
                     help="override JAX_PLATFORMS for the device stages")
     args = ap.parse_args()
@@ -147,6 +155,7 @@ def main():
                  "--epochs2", str(args.epochs2),
                  "--gradient_method", "MB",
                  "--batch_size", str(args.batch_size),
+                 "--eval_chunk", str(args.eval_chunk),
                  "--fused_epochs"],
             platform=args.platform, tee="train.log"))
 

@@ -92,3 +92,26 @@ class TestBucketing:
         _, acc = steps.gs_eval_step_multi(state, batches, "classification",
                                           split="test")
         assert float(acc) > 0.5
+
+
+class TestChunkedEval:
+    def test_chunked_eval_matches_full(self):
+        """chunk-scanned eval sums == whole-bucket vmap eval (the memory-
+        bounded path the products-scale flagship run uses)."""
+        import jax
+        from fitgnn_tpu.models import NodeModel
+        from fitgnn_tpu.train import steps
+        ds, buckets, y = make_setup()
+        model = NodeModel(layer_name="GCNConv", hidden=16, num_layers=2,
+                          out_dim=int(y.max()) + 1)
+        g0 = buckets[0].subgraph(0)
+        state = steps.create_state(model, jax.random.PRNGKey(0), g0.x, g0)
+        full = steps.gs_eval_step_multi(state, tuple(buckets),
+                                        "classification", split="test")
+        chunked = steps.gs_eval_step_multi(state, tuple(buckets),
+                                           "classification", split="test",
+                                           chunk=3)
+        np.testing.assert_allclose(float(chunked[0]), float(full[0]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(chunked[1]), float(full[1]),
+                                   rtol=1e-5)
