@@ -19,6 +19,15 @@ Model per training step (2-layer GNN, hidden H, bf16 activations):
                 issues collectives first and aggregates interior edges
                 while they fly — parallel/hierarchical.py)
   serial bound: t_step = t_compute + t_ici + t_dcn
+
+Overlap evidence (scripts/overlap_probe.py, round 4): in the compiled
+hier-step HLO the collectives' DIRECT consumers are only the halo/summary
+fold-in fusions — the interior aggregation is data-independent, so the
+overlapped column is LEGAL for any scheduler.  What remains assumed is
+TPU scheduler BEHAVIOR: XLA:CPU emits synchronous collectives (no
+start/done pairs — a CPU-mesh wall-clock can never show the overlap),
+while XLA:TPU's latency-hiding scheduler asynchronizes them; until a
+multi-chip run exists, the truth lies between the two columns.
   efficiency(P) = t_1 / (P · t_step(P))   [edges/s scaling efficiency]
 
 Usage: python scripts/scaling_projection.py [--nodes 2450000]
