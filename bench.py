@@ -93,6 +93,9 @@ BENCH_ABLATE = os.environ.get("FITGNN_BENCH_ABLATE", "")
 # cluster-summary row via a dense (N, C) MXU block. Value = nodes per
 # cluster (multiple of 128), 0 = off. GATConv only.
 BENCH_CLUSTER_ATT = int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
+# hybrid split: top-k straggler senders stay on the exact per-edge path,
+# the tail collapses onto summaries (accuracy/latency frontier knob)
+BENCH_CLUSTER_EXACT = int(os.environ.get("FITGNN_BENCH_CLUSTER_EXACT", "0"))
 
 # graph size is overridable for CPU smoke tests of bench code paths only —
 # the headline metric is defined at the default (arxiv-scale) size
@@ -180,6 +183,7 @@ def main():
                        use_einsum_tiles=BENCH_EINSUM_TILES,
                        semantics=semantics,
                        cluster_att=BENCH_CLUSTER_ATT,
+                       cluster_att_exact=BENCH_CLUSTER_EXACT,
                        real_nodes=NUM_NODES)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     nd = 0 if hyb.diag_blocks is None else hyb.diag_blocks.shape[0]
@@ -229,23 +233,31 @@ def main():
     key = jax.random.PRNGKey(BENCH_SEED + 1)
 
     if BENCH_SCAN:
-        def body(st, r):
-            return gc_train_step(st, g, yv, mv, r, "classification")
-
+        # g/yv/mv ride as jit OPERANDS, not closure constants: baked-in
+        # constants ship inside the remote-compile payload, and the
+        # cluster-attention (N, C) count table alone blows the ~100 MB
+        # limit at K=512 (round-3 HTTP 413) — as runtime inputs they cost
+        # one upload instead
         @jax.jit
-        def run_steps(st, k):
+        def run_steps(st, k, gg, yy, mm):
+            def body(st, r):
+                return gc_train_step(st, gg, yy, mm, r, "classification")
+
             return jax.lax.scan(body, st, jax.random.split(k, STEPS))
 
         # warm-up / compile (advances the state — the timed program re-runs
         # on fresh inputs, so the tunnel result cache cannot serve it)
-        state, losses = run_steps(state, key)
+        g = jax.device_put(g)
+        yv, mv = jax.device_put((yv, mv))
+        state, losses = run_steps(state, key, g, yv, mv)
         _ = float(losses[-1])
         print("compiled; timing...", file=sys.stderr)
         trace_dir = os.environ.get("FITGNN_BENCH_TRACE", "")
         if trace_dir:
             jax.profiler.start_trace(trace_dir)
         t0 = time.perf_counter()
-        state, losses = run_steps(state, jax.random.fold_in(key, 1))
+        state, losses = run_steps(state, jax.random.fold_in(key, 1), g, yv,
+                                  mv)
         _ = float(losses[-1])  # scalar fetch drains the dispatch queue
         elapsed = time.perf_counter() - t0
         if trace_dir:

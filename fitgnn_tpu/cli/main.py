@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hybrid_bf16_tiles", action="store_true",
                    help="store the dense adjacency tiles in bfloat16 "
                         "(halves tile HBM traffic; f32 accumulation)")
+    t.add_argument("--cluster_attention_exact", type=int, default=0,
+                   help="with --cluster_attention: the top-k straggler "
+                   "senders (by straggler out-degree) keep the exact "
+                   "per-edge attention path; only the tail collapses onto "
+                   "cluster summaries (the reference's extra_node + "
+                   "cluster_node mechanisms composed per edge)")
     t.add_argument("--cluster_attention", type=int, default=0,
                    help="GATConv full-graph training: collapse straggler "
                         "edges onto their sender's cluster-summary row "
@@ -320,7 +326,9 @@ def cmd_train(args) -> int:
                 part.coarse, seed=args.seed, layer_name=args.layer_name,
                 min_block_edges=args.hybrid_threshold,
                 tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None,
-                cluster_att=gc_cluster_att)
+                cluster_att=gc_cluster_att,
+                cluster_att_exact=getattr(args, "cluster_attention_exact",
+                                          0))
             hyb = part.coarse.graph.aux
             nca = (0 if hyb.cluster_count is None
                    else int(np.asarray(hyb.cluster_count > 0).sum()))

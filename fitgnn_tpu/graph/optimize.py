@@ -58,6 +58,7 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                           tile_group: int = 1, layer_name: str = "GCNConv",
                           use_diag: bool = False,
                           cluster_att: int = 0,
+                          cluster_att_exact: int = 0,
                           seed: int = 0) -> tuple[Graph, np.ndarray]:
     """Reorder nodes by two-level Leiden communities, build the padded
     ``Graph`` and attach a ``HybridSpmm`` operator as ``g.aux``.
@@ -98,14 +99,15 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        tile_dtype=tile_dtype,
                        use_segmm=use_segmm, use_diag=use_diag,
                        tile_group=tile_group, semantics=semantics,
-                       cluster_att=cluster_att, real_nodes=n)
+                       cluster_att=cluster_att,
+                       cluster_att_exact=cluster_att_exact, real_nodes=n)
     return g._replace(aux=hyb), order
 
 
 def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                     use_segmm: bool = True, tile_group: int = 1,
                     layer_name: str = "GCNConv", cluster_att: int = 0,
-                    seed: int = 0):
+                    cluster_att_exact: int = 0, seed: int = 0):
     """Leiden-reorder a ``CoarseData``'s graph and attach the hybrid
     operator — the Gc phase at products scale (~165k metanodes,
     reference ``main.py:247-267``) is a full-graph training problem and
@@ -160,7 +162,9 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                        tile_dtype=tile_dtype,
                        use_segmm=use_segmm,
                        tile_group=tile_group, semantics=semantics,
-                       cluster_att=cluster_att, real_nodes=n_real)
+                       cluster_att=cluster_att,
+                       cluster_att_exact=cluster_att_exact,
+                       real_nodes=n_real)
     g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
                     receivers=jnp.asarray(r2, dtype=jnp.int32),
                     edge_weight=jnp.asarray(w2), y=pnode(g.y),

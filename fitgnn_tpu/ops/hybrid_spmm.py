@@ -107,12 +107,20 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  use_einsum_tiles: bool = False,
                  semantics: str = "gcn_norm",
                  cluster_att: int = 0,
+                 cluster_att_exact: int = 0,
                  real_nodes: int | None = None) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side).
 
     ``cluster_att`` (att_unit only): nodes per cluster — straggler edges
     collapse onto dense (N, C) counts against their sender's cluster and
     the per-edge straggler lists empty out (see HybridSpmm.cluster_count).
+    ``cluster_att_exact``: HYBRID split — the top-k straggler SENDERS by
+    straggler out-degree (the edge mass their per-edge scores carry) keep
+    the exact per-edge path; only the tail collapses onto summaries.  The
+    reference offers extra_node (exact halo) and cluster_node (summary)
+    as a per-run dichotomy (``utils.py:235-239`` vs ``:191-232``); this
+    offers both per edge, trading accuracy back for step time where the
+    remote signal concentrates in few senders.
     ``real_nodes``: count of non-padding node rows (summary means exclude
     padding); defaults to ``num_nodes_padded``."""
     assert num_nodes_padded % block == 0
@@ -170,8 +178,18 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
         K = cluster_att
         C = num_nodes_padded // K
         real = (cw > 0)                    # padding edges never count
+        keep_exact = np.zeros(len(cs), dtype=bool)
+        if cluster_att_exact:
+            deg = np.bincount(cs[real], minlength=num_nodes_padded)
+            k = min(int(cluster_att_exact), int((deg > 0).sum()))
+            if k:
+                top = np.argpartition(deg, -k)[-k:]
+                is_top = np.zeros(num_nodes_padded, dtype=bool)
+                is_top[top[deg[top] > 0]] = True
+                keep_exact = is_top[cs] & real
+        collapse = real & ~keep_exact
         cc = np.zeros((num_nodes_padded, C), dtype=np.float32)
-        np.add.at(cc, (cr[real], cs[real] // K), 1.0)
+        np.add.at(cc, (cr[collapse], cs[collapse] // K), 1.0)
         # bf16 keeps the (N, C) table half-size and is exact for integer
         # counts ≤ 256 (ties to the remote-compile payload limit: pass the
         # table as a runtime input, never a baked constant)
@@ -184,8 +202,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                                     dtype=jnp.float32)
         cluster_member = jnp.asarray(member)
         cluster_size = K
-        cs, cr, cw = (np.empty(0, np.int64), np.empty(0, np.int64),
-                      np.empty(0, np.float32))
+        cs, cr, cw = cs[keep_exact], cr[keep_exact], cw[keep_exact]
 
     if len(cs) == 0:  # keep shapes non-empty for jit friendliness
         cs = np.array([num_nodes_padded - 1], dtype=np.int64)

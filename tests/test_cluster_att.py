@@ -32,9 +32,11 @@ def _random_graph(seed, n=500, e=2500):
     return x, s[keep], r[keep], y
 
 
-def _oracle_graph(g_opt, thresh, K):
+def _oracle_graph(g_opt, thresh, K, exact_k=0):
     """Rebuild the exact split the hybrid applied, then emit the augmented
-    per-edge oracle graph (directed, no extra self-loops/normalization)."""
+    per-edge oracle graph (directed, no extra self-loops/normalization).
+    ``exact_k``: replicate the hybrid top-k-sender split — those senders'
+    straggler edges stay per-edge in the oracle too."""
     n_pad = g_opt.num_nodes_padded
     s_all = np.asarray(g_opt.senders, dtype=np.int64)
     r_all = np.asarray(g_opt.receivers, dtype=np.int64)
@@ -53,23 +55,35 @@ def _oracle_graph(g_opt, thresh, K):
     counts = member.reshape(C, K).sum(axis=1)
     x_sum = (sums / np.maximum(counts, 1.0)[:, None]).astype(np.float32)
 
-    aug_s = np.concatenate([s_e[dense], n_pad + s_e[~dense] // K])
-    aug_r = np.concatenate([r_e[dense], r_e[~dense]])
+    strag_s, strag_r = s_e[~dense], r_e[~dense]
+    keep = np.zeros(len(strag_s), dtype=bool)
+    if exact_k:
+        deg = np.bincount(strag_s, minlength=n_pad)
+        k = min(exact_k, int((deg > 0).sum()))
+        if k:
+            top = np.argpartition(deg, -k)[-k:]
+            is_top = np.zeros(n_pad, dtype=bool)
+            is_top[top[deg[top] > 0]] = True
+            keep = is_top[strag_s]
+    aug_s = np.concatenate([s_e[dense], strag_s[keep],
+                            n_pad + strag_s[~keep] // K])
+    aug_r = np.concatenate([r_e[dense], strag_r[keep], strag_r[~keep]])
     x_aug = np.concatenate([x_pad.astype(np.float32), x_sum], axis=0)
     return build_graph(x_aug, aug_s.astype(np.int32),
                        aug_r.astype(np.int32), undirected=False,
                        self_loops=False, normalize=False, node_pad_to=8)
 
 
-def _run_case(thresh, K, seed=0, features=16):
+def _run_case(thresh, K, seed=0, features=16, exact_k=0):
     x, s, r, y = _random_graph(seed)
     g_opt, order = build_optimized_graph(x, s, r, y=y,
                                          min_block_edges=thresh,
                                          layer_name="GATConv",
-                                         cluster_att=K, seed=0)
+                                         cluster_att=K,
+                                         cluster_att_exact=exact_k, seed=0)
     assert g_opt.aux.cluster_count is not None
     assert g_opt.aux.cluster_size == K
-    g_aug = _oracle_graph(g_opt, thresh, K)
+    g_aug = _oracle_graph(g_opt, thresh, K, exact_k=exact_k)
 
     layer = GATConv(features=features)
     params = layer.init(jax.random.PRNGKey(1), g_aug.x, g_aug)
@@ -184,3 +198,39 @@ def test_optimize_coarse_cluster_attention_trains():
         losses.append(float(l))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_hybrid_exact_summary_split_matches_oracle():
+    """VERDICT r3 #3: top-k straggler senders stay per-edge exact, the
+    tail collapses onto summaries — output AND grads must match the
+    augmented oracle that applies the same split."""
+    _run_case(thresh=8, K=128, exact_k=32, seed=11)
+
+
+def test_hybrid_split_pure_summary_at_k0():
+    """exact_k=0 degenerates to the all-summary mode (regression gate for
+    the split refactor)."""
+    _run_case(thresh=8, K=128, exact_k=0, seed=12)
+
+
+def test_hybrid_split_all_exact_equals_per_edge():
+    """exact_k >= #straggler senders: the count table is all-zero and the
+    hybrid must equal PLAIN per-edge GAT on the original graph."""
+    x, s, r, y = _random_graph(13)
+    g_opt, order = build_optimized_graph(x, s, r, y=y, min_block_edges=8,
+                                         layer_name="GATConv",
+                                         cluster_att=128,
+                                         cluster_att_exact=10 ** 9, seed=0)
+    assert float(np.asarray(g_opt.aux.cluster_count,
+                            dtype=np.float64).sum()) == 0.0
+    g_plain, order2 = build_optimized_graph(x, s, r, y=y,
+                                            min_block_edges=8,
+                                            layer_name="GATConv", seed=0)
+    np.testing.assert_array_equal(order, order2)
+    layer = GATConv(features=16)
+    params = layer.init(jax.random.PRNGKey(1), g_plain.x, g_plain)
+    out_split = np.asarray(layer.apply(params, g_opt.x, g_opt))
+    out_plain = np.asarray(layer.apply(params, g_plain.x, g_plain))
+    n = len(order)
+    np.testing.assert_allclose(out_split[:n], out_plain[:n],
+                               rtol=3e-4, atol=3e-5)
