@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--thresh", type=int, default=192)
     ap.add_argument("--cluster_sizes", type=int, nargs="+",
                     default=[128, 512, 1024])
+    ap.add_argument("--exact_ks", type=int, nargs="+", default=[],
+                    help="hybrid exact/summary frontier: for each k, the "
+                         "top-k straggler senders keep per-edge attention "
+                         "(cluster_att_exact) at the FIRST cluster size")
     ap.add_argument("--mode", choices=("sbm", "homophilous"),
                     default="homophilous",
                     help="sbm: inter-community edges are uniformly random "
@@ -122,7 +126,7 @@ def main():
         return build_graph(x, s, r, y=y, train_mask=train, val_mask=val,
                            test_mask=test)
 
-    def hybrid(K=0, thresh=None):
+    def hybrid(K=0, thresh=None, exact_k=0):
         # defaults mirror the TPU-measured production regime (bench t192):
         # 128-node communities whose intra tiles stay dense, while the
         # scattered inter-community remainder (~15-20 % of edges) rides
@@ -133,22 +137,25 @@ def main():
                 x, s, r, y=y, train_mask=train, val_mask=val,
                 test_mask=test, layer_name="GATConv",
                 min_block_edges=thresh, cluster_att=K,
+                cluster_att_exact=exact_k,
                 use_segmm=False, seed=0)
             # CPU A/B: route the dense tiles through the XLA einsum branch
             # (semantics identical — tests/test_tile_gat.py gates both);
             # the Pallas dyn-tile kernel runs in interpret mode here and
             # is 100x slower per step
             g = g._replace(aux=g.aux.replace(dyn_plan=None))
+            n_exact = int((np.asarray(g.aux.weights) > 0).sum())
             if K:
                 # float64 cast: the table is bf16 and np.sum would round
-                n_strag = int(np.asarray(g.aux.cluster_count,
-                                         dtype=np.float64).sum())
+                n_coll = int(np.asarray(g.aux.cluster_count,
+                                        dtype=np.float64).sum())
             else:
-                n_strag = int((np.asarray(g.aux.weights) > 0).sum())
+                n_coll = 0
             b.info = (f"{0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks} "
-                      f"tiles, {n_strag} straggler edges"
+                      f"tiles, {n_exact} exact + {n_coll} collapsed "
+                      f"straggler edges"
                       + (f" -> (N,{g.aux.num_nodes // K}) summary block"
-                         if K else " (exact per-edge)"))
+                         if K else ""))
             return g
         return b
 
@@ -159,6 +166,10 @@ def main():
                        for k in args.cluster_sizes]):
         b = hybrid(K)
         rows.append((name, run(b), b.info))
+    for ek in args.exact_ks:
+        b = hybrid(args.cluster_sizes[0], exact_k=ek)
+        rows.append((f"hybrid split K={args.cluster_sizes[0]} "
+                     f"exact_k={ek}", run(b), b.info))
     print(f"\n=== GAT cluster-attention accuracy (n={args.nodes}, "
           f"{args.runs} runs x {args.epochs} epochs, {time.time()-t0:.0f}s)"
           f" ===")
