@@ -283,9 +283,15 @@ def _gs_eval(state, batches, task, split, chunk: int = 0, cfg=None):
     if len(batches) == 1 and not chunk:
         return steps.gs_eval_step(state, batches[0], task, split=split)
     if chunk and cfg is not None:
-        # per-bucket chunk: the user cap further bounded by the activation
-        # budget (edge-heavy buckets need smaller chunks)
-        chunk = tuple(min(chunk, _chunk_cap(cfg, b)) for b in batches)
+        # chunked eval runs ONE jitted program PER bucket (each chunk-scan
+        # memory-budgeted) and combines the sums host-side: at products
+        # scale the monolithic all-buckets executable is what the remote
+        # compiler/worker cannot hold
+        sums = [steps.gs_eval_bucket_sums(
+                    state, b, task, split=split,
+                    chunk=min(chunk, _chunk_cap(cfg, b)))
+                for b in batches]
+        return steps.finish_eval_from_sums(task, sums)
     return steps.gs_eval_step_multi(state, batches, task, split=split,
                                     chunk=chunk)
 

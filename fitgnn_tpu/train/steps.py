@@ -272,6 +272,34 @@ def _bucket_eval_sums(apply_fn, params, b: SubgraphBatch, task: str,
 
 
 @functools.partial(jax.jit, static_argnames=("task", "split", "chunk"))
+def gs_eval_bucket_sums(state: TrainState, b: SubgraphBatch, task: str,
+                        split: str = "val", chunk: int = 0):
+    """One bucket's psum-style partials as its OWN jitted program.  At
+    products scale the monolithic all-buckets eval is one huge executable
+    (the remote compiler chokes on it); five small programs compile in
+    minutes each and cost only ~ms of extra dispatch.  Combine with
+    ``finish_eval_from_sums``."""
+    return _bucket_eval_sums(state.apply_fn, state.params, b, task, split,
+                             chunk)
+
+
+def finish_eval_from_sums(task: str, sums):
+    """Host-side combine of per-bucket ``gs_eval_bucket_sums`` partials →
+    (loss, metric), identical math to ``gs_eval_step_multi``."""
+    loss_s = sum(float(s[0]) for s in sums)
+    count = max(sum(float(s[1]) for s in sums), 1.0)
+    metric_s = sum(float(s[2]) for s in sums)
+    y_s = sum(float(s[3]) for s in sums)
+    y2_s = sum(float(s[4]) for s in sums)
+    loss = loss_s / count
+    if task == "classification":
+        return loss, metric_s / count
+    mean = y_s / count
+    var = max(y2_s / count - mean ** 2, 0.0)
+    return loss, loss / max(var ** 0.5, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("task", "split", "chunk"))
 def gs_eval_step_multi(state: TrainState, batches, task: str,
                        split: str = "val", chunk=0):
     """Masked loss + metric over all buckets' consuming split nodes.

@@ -34,7 +34,7 @@ def main():
                     help="hybrid exact/summary frontier: for each k, the "
                          "top-k straggler senders keep per-edge attention "
                          "(cluster_att_exact) at the FIRST cluster size")
-    ap.add_argument("--mode", choices=("sbm", "homophilous"),
+    ap.add_argument("--mode", choices=("sbm", "homophilous", "hubs"),
                     default="homophilous",
                     help="sbm: inter-community edges are uniformly random "
                          "(adversarial for summaries — per-edge "
@@ -60,7 +60,7 @@ def main():
                                num_features=args.features, p_in=args.p_in,
                                p_out=args.p_out, feature_noise=args.noise,
                                seed=0)
-    else:
+    elif args.mode == "homophilous":
         # ogbn-like: 128-node communities, several communities per class,
         # inter-community edges homophilous (same-class community with
         # prob --homophily) — the regime the mode is built for
@@ -94,6 +94,52 @@ def main():
              + args.noise * rng0.normal(size=(n, args.features))
              ).astype(np.float32)
         # shuffle ids: recovering community order is the ingest's job
+        perm = rng0.permutation(n)
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        x, y = x[perm], y[perm]
+        s, r = inv[s].astype(np.int32), inv[r].astype(np.int32)
+    if args.mode == "hubs":
+        # remote signal CONCENTRATED in hub senders, hubs OUTSIDE the
+        # communities: nodes [0, nh) form a hub region whose clusters mix
+        # classes, so a cluster summary washes the per-hub class features
+        # out; community-node features carry NO class signal.  The label is
+        # recoverable only through the signal edges from same-class hubs —
+        # per-edge attention on those edges preserves it, and
+        # top-k-by-straggler-degree picks exactly the hubs.
+        rng0 = np.random.default_rng(0)
+        n, comm = args.nodes, 128
+        nh = 8 * args.classes                 # hubs; clusters of 128 mix
+        hub_class = (np.arange(nh) % args.classes).astype(np.int32)
+        nc_nodes = n - nh
+        ncomm = nc_nodes // comm
+        comm_class = rng0.integers(0, args.classes, ncomm)
+        node_comm = np.arange(nc_nodes) // comm
+        y = np.concatenate([hub_class,
+                            comm_class[node_comm]]).astype(np.int32)
+        body = nh + np.arange(nc_nodes)       # community node ids
+        e_in = n * 8
+        s_i = body[rng0.integers(0, nc_nodes, e_in)]
+        r_i = nh + (s_i - nh) // comm * comm + rng0.integers(0, comm, e_in)
+        e_sig = int(n * 1.5)
+        r_s = body[rng0.integers(0, nc_nodes, e_sig)]
+        # sender: random hub of the receiver's class
+        s_s = (rng0.integers(0, 8, e_sig) * args.classes + y[r_s])
+        s_s = np.minimum(s_s, nh - 1)
+        e_noise = int(n * 1.5)
+        r_n = body[rng0.integers(0, nc_nodes, e_noise)]
+        s_n = body[rng0.integers(0, nc_nodes, e_noise)]
+        s = np.concatenate([s_i, s_s, s_n])
+        r = np.concatenate([r_i, r_s, r_n])
+        keep = s != r
+        s, r = s[keep].astype(np.int32), r[keep].astype(np.int32)
+        means = rng0.normal(scale=3.0, size=(args.classes, args.features))
+        coff = rng0.normal(scale=1.0, size=(ncomm, args.features))
+        x = np.concatenate([
+            means[hub_class] + 0.3 * rng0.normal(size=(nh, args.features)),
+            coff[node_comm] + args.noise
+            * rng0.normal(size=(nc_nodes, args.features))]
+        ).astype(np.float32)
         perm = rng0.permutation(n)
         inv = np.empty(n, dtype=np.int64)
         inv[perm] = np.arange(n)

@@ -115,3 +115,23 @@ class TestChunkedEval:
                                    rtol=1e-5)
         np.testing.assert_allclose(float(chunked[1]), float(full[1]),
                                    rtol=1e-5)
+
+    def test_per_bucket_sums_eval_matches_monolithic(self):
+        """The per-bucket-program eval (products-scale path) == the
+        monolithic multi-bucket eval."""
+        import jax
+        from fitgnn_tpu.models import NodeModel
+        from fitgnn_tpu.train import steps
+        ds, buckets, y = make_setup()
+        model = NodeModel(layer_name="GCNConv", hidden=16, num_layers=2,
+                          out_dim=int(y.max()) + 1)
+        g0 = buckets[0].subgraph(0)
+        state = steps.create_state(model, jax.random.PRNGKey(0), g0.x, g0)
+        mono = steps.gs_eval_step_multi(state, tuple(buckets),
+                                        "classification", split="test")
+        sums = [steps.gs_eval_bucket_sums(state, b, "classification",
+                                          split="test", chunk=3)
+                for b in buckets]
+        split = steps.finish_eval_from_sums("classification", sums)
+        np.testing.assert_allclose(split[0], float(mono[0]), rtol=1e-5)
+        np.testing.assert_allclose(split[1], float(mono[1]), rtol=1e-5)
