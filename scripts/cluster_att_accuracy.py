@@ -134,10 +134,12 @@ def main():
         keep = s != r
         s, r = s[keep].astype(np.int32), r[keep].astype(np.int32)
         means = rng0.normal(scale=3.0, size=(args.classes, args.features))
-        coff = rng0.normal(scale=1.0, size=(ncomm, args.features))
+        # community-node features are PURE noise — any community-offset
+        # term lets the model memorize community->class from train labels
+        # and bypass the hubs entirely
         x = np.concatenate([
             means[hub_class] + 0.3 * rng0.normal(size=(nh, args.features)),
-            coff[node_comm] + args.noise
+            args.noise
             * rng0.normal(size=(nc_nodes, args.features))]
         ).astype(np.float32)
         perm = rng0.permutation(n)
