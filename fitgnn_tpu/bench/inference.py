@@ -56,6 +56,11 @@ def node_inference_benchmark(
     buckets = ((batch,) if isinstance(batch, SubgraphBatch)
                else tuple(batch))
     if subgraph_index is None:
+        if len(buckets) > 1:
+            raise ValueError(
+                "bucketed batches need the pipeline's subgraph_index "
+                "(metanode -> (bucket, position)); without it sampled "
+                "nodes would map to the wrong subgraphs")
         subgraph_index = np.stack(
             [np.zeros(buckets[0].num_subgraphs, dtype=np.int64),
              np.arange(buckets[0].num_subgraphs, dtype=np.int64)], axis=1)

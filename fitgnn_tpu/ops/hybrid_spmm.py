@@ -108,7 +108,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  semantics: str = "gcn_norm",
                  cluster_att: int = 0,
                  cluster_att_exact: int = 0,
-                 real_nodes: int | None = None) -> HybridSpmm:
+                 real_nodes: int | None = None,
+                 build_dyn: bool = True) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side).
 
     ``cluster_att`` (att_unit only): nodes per cluster — straggler edges
@@ -235,7 +236,7 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                               num_nodes_padded, group=segmm_group,
                               edge_perm=t_edge_perm)
     dyn_plan = None
-    if (semantics == "att_unit" and bsr is not None
+    if (build_dyn and semantics == "att_unit" and bsr is not None
             and not bsr.rowwalk and not bsr.einsum):
         # the plan needs the grid-walk tile order: rows sorted ascending
         # with coverage fillers (zero-mask tiles → zero pe, inert)

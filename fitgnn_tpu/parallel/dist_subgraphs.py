@@ -192,20 +192,10 @@ def make_dist_gs_train_epoch_mb(mesh: Mesh, examples,
                        out_specs=(P(), P()),
                        check_vma=False)
     def step(state: TrainState, batches, rng):
+        from fitgnn_tpu.train.steps import chunk_pad
         total = 0.0
         for bi, b in enumerate(batches):
-            s_loc = b.num_subgraphs          # local slice on this device
-            n_chunks = -(-s_loc // bs_local)
-            pad = n_chunks * bs_local - s_loc
-
-            def pad_chunk(a):
-                if a is None:
-                    return None
-                widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-                out = jnp.pad(a, widths)
-                return out.reshape((n_chunks, bs_local) + a.shape[1:])
-
-            cb = jax.tree_util.tree_map(pad_chunk, b)
+            cb, n_chunks = chunk_pad(b, bs_local)
 
             def body(st, inp):
                 chunk, r = inp

@@ -118,7 +118,7 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150,
 
     ``semantics='att_unit'`` builds GAT presence structures (consumed by
     ``tile_gat_attention`` partials in ``hier_attention_aggregate``); the
-    per-shard ``dyn_plan`` is stripped (its ragged walk plans don't stack;
+    per-shard ``dyn_plan`` is skipped (its ragged walk plans don't stack;
     the XLA einsum tile path applies instead) and segmm stays off (the
     straggler numerator path with the best measured backward at GAT widths
     is the y-reuse augmented scatter).
@@ -131,10 +131,8 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150,
     hybs = [build_hybrid(np.asarray(s, np.int64), np.asarray(r, np.int64),
                          np.asarray(w, np.float32), n_pad,
                          min_block_edges=min_block_edges, use_segmm=not att,
-                         semantics=semantics)
+                         semantics=semantics, build_dyn=False)
             for s, r, w in zip(ints, intr, intw)]
-    if att:
-        hybs = [h.replace(dyn_plan=None) for h in hybs]
     # uniform pytree structure across shards: a shard with no dense tile
     # gets a filler-only BSR (zero tiles, full row coverage — inert)
     from fitgnn_tpu.ops.pallas.bsr_spmm import build_bsr
@@ -491,13 +489,20 @@ def _hier_tile_attention(h: jnp.ndarray, plan_b: HierPlan,
     es_s = leaky(s_src_sum[plan_b.sum_senders]
                  + sdst_loc[plan_b.sum_receivers])
     neg = jnp.float32(-1e30)
-    from fitgnn_tpu.ops.segment import segment_max
+    # mask BEFORE the exp (tile_gat convention: an over-m padding score
+    # would exp to inf and 0·inf = NaN under the exact-max stabilizer)
+    es_h = jnp.where(mask_h, es_h, neg)
+    es_s = jnp.where(mask_s, es_s, neg)
+    # raw segment_max (identity -inf) — ops.segment.segment_max converts
+    # empty segments to 0.0, which would silently force m ≥ 0 on receivers
+    # with no external edges and defeat the exact-max branch
     ext_m = jnp.maximum(
-        segment_max(jnp.where(mask_h, es_h, neg), plan_b.halo_receivers,
-                    n_loc, indices_are_sorted=False),
-        segment_max(jnp.where(mask_s, es_s, neg), plan_b.sum_receivers,
-                    n_loc, indices_are_sorted=False))
-    ext_m = (jnp.pad(ext_m, (0, n_pad - n_loc), constant_values=0.0)
+        jax.ops.segment_max(es_h, plan_b.halo_receivers,
+                            num_segments=n_loc),
+        jax.ops.segment_max(es_s, plan_b.sum_receivers,
+                            num_segments=n_loc))
+    ext_m = jnp.maximum(ext_m, neg)                # -inf → finite floor
+    ext_m = (jnp.pad(ext_m, (0, n_pad - n_loc), constant_values=-1e30)
              if n_pad != n_loc else ext_m)
 
     num, den, m = tile_gat_attention(hyb, s_src, s_dst, hp, negative_slope,

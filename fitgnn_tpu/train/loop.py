@@ -152,11 +152,18 @@ def _make_dist_steps(cfg, batches):
     batches = tuple(pad_batch_to_shards(b, cfg.num_devices) for b in batches)
     if cfg.gradient_method == "MB":
         # one psum-reduced optimizer step per batch_size-subgraph chunk
-        # (reference node_train_Gs_MB, run.py:217)
+        # (reference node_train_Gs_MB, run.py:217); the chunk is
+        # activation-budgeted like the single-device path (the per-device
+        # (bs_local, E_pad, hidden) message buffers are what OOM)
+        bs = min(cfg.batch_size,
+                 *(_chunk_cap(cfg, b) * cfg.num_devices for b in batches))
         train = make_dist_gs_train_epoch_mb(mesh, batches, cfg.task,
-                                            batch_size=cfg.batch_size)
-    else:
+                                            batch_size=bs)
+    elif cfg.gradient_method == "GD":
         train = make_dist_gs_train_step_multi(mesh, batches, cfg.task)
+    else:
+        raise ValueError(f"unknown gradient_method {cfg.gradient_method!r}"
+                         " (GD or MB)")
     evals = {s: make_dist_gs_eval_step_multi(mesh, batches, cfg.task, split=s)
              for s in ("val", "test")}
     return (lambda state, rng: train(state, batches, rng),
@@ -257,6 +264,9 @@ def _chunk_cap(cfg, batch) -> int:
 
 
 def _gs_train_epoch(state, batches, rng, cfg):
+    if cfg.gradient_method not in ("GD", "MB"):
+        raise ValueError(f"unknown gradient_method {cfg.gradient_method!r}"
+                         " (GD or MB)")
     if len(batches) == 1:
         batch = batches[0]
         if cfg.gradient_method == "GD":

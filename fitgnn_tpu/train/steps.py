@@ -160,6 +160,23 @@ def gs_train_step_gd(state: TrainState, batch: SubgraphBatch, rng, task: str,
     return state.apply_gradients(grads=grads), val
 
 
+def chunk_pad(tree, chunk: int):
+    """Pad every leaf's leading (subgraph) axis to a multiple of ``chunk``
+    and reshape to ``(k, chunk, ...)``.  Zero padding ⇒ zeroed masks ⇒
+    padded subgraphs contribute nothing.  The ONE home of the chunking
+    invariant (single-device MB, chunked eval, distributed MB).
+    Returns ``(chunked_tree, k)``."""
+    size = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    k = -(-size // chunk)
+    pad = k * chunk - size
+
+    def p(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths).reshape((k, chunk) + a.shape[1:])
+
+    return jax.tree_util.tree_map(p, tree), k
+
+
 @functools.partial(jax.jit,
                    static_argnames=("task", "batch_size", "reduction"))
 def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str,
@@ -169,18 +186,7 @@ def gs_train_epoch_mb(state: TrainState, batch: SubgraphBatch, rng, task: str,
     batch_size=128 there), as a lax.scan over chunks.  Chunks with no train
     nodes leave the state untouched (the reference ``continue``s them)."""
     loss_fn = _loss_fn(task, reduction)
-    s = batch.num_subgraphs
-    n_chunks = -(-s // batch_size)
-    pad = n_chunks * batch_size - s
-
-    def pad_chunk(a):
-        if a is None:
-            return None
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-        out = jnp.pad(a, widths)
-        return out.reshape((n_chunks, batch_size) + a.shape[1:])
-
-    cb = jax.tree_util.tree_map(pad_chunk, batch)
+    cb, n_chunks = chunk_pad(batch, batch_size)
     # padding subgraphs get zeroed train masks automatically (jnp.pad)
 
     def body(st, inp):
@@ -252,16 +258,7 @@ def _bucket_eval_sums(apply_fn, params, b: SubgraphBatch, task: str,
     s_tot = b.num_subgraphs
     if not chunk or s_tot <= chunk:
         return sums(b)
-    k = -(-s_tot // chunk)
-    pad = k * chunk - s_tot
-
-    def pad_chunk(a):
-        if a is None:
-            return None
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, widths).reshape((k, chunk) + a.shape[1:])
-
-    cb = jax.tree_util.tree_map(pad_chunk, b)
+    cb, _ = chunk_pad(b, chunk)
 
     def body(carry, bi):
         return tuple(c + v for c, v in zip(carry, sums(bi))), None
@@ -285,18 +282,13 @@ def gs_eval_bucket_sums(state: TrainState, b: SubgraphBatch, task: str,
 
 def finish_eval_from_sums(task: str, sums):
     """Host-side combine of per-bucket ``gs_eval_bucket_sums`` partials →
-    (loss, metric), identical math to ``gs_eval_step_multi``."""
-    loss_s = sum(float(s[0]) for s in sums)
-    count = max(sum(float(s[1]) for s in sums), 1.0)
-    metric_s = sum(float(s[2]) for s in sums)
-    y_s = sum(float(s[3]) for s in sums)
-    y2_s = sum(float(s[4]) for s in sums)
-    loss = loss_s / count
-    if task == "classification":
-        return loss, metric_s / count
-    mean = y_s / count
-    var = max(y2_s / count - mean ** 2, 0.0)
-    return loss, loss / max(var ** 0.5, 1e-12)
+    (loss, metric); the metric math lives in ONE place
+    (``losses.task_metric_from_sums``)."""
+    from fitgnn_tpu.train.losses import task_metric_from_sums
+
+    ls, c, ms, ys, y2s = (sum(float(s[i]) for s in sums) for i in range(5))
+    metric = float(task_metric_from_sums(task, ls, c, ms, ys, y2s))
+    return ls / max(c, 1.0), metric
 
 
 @functools.partial(jax.jit, static_argnames=("task", "split", "chunk"))

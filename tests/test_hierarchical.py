@@ -320,3 +320,23 @@ class TestHierGATTileInterior:
                 losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+    def test_tile_interior_exact_max_branch(self, monkeypatch):
+        """FITGNN_GAT_GLOBAL_MAX=0: the exact segment-max branch must fold
+        the halo/summary row maxima in (ext_m), and masked padding edges
+        must never exp to inf (mask-before-exp convention)."""
+        from fitgnn_tpu.ops import tile_gat
+        monkeypatch.setattr(tile_gat, "_GLOBAL_MAX", False)
+        sg, plan_edge, plan_tile = self._setup(2, 4, seed=7)
+        mesh = make_hier_mesh(2, 4)
+        rng = np.random.default_rng(2)
+        # large attention vectors -> large score spread, the regime where
+        # an unbounded m overflows exp()
+        a_src = jnp.asarray(3.0 * rng.standard_normal(12).astype(np.float32))
+        a_dst = jnp.asarray(3.0 * rng.standard_normal(12).astype(np.float32))
+        out_e, g_e = self._run(mesh, plan_edge, sg, a_src, a_dst)
+        out_t, g_t = self._run(mesh, plan_tile, sg, a_src, a_dst)
+        assert np.isfinite(np.asarray(out_t)).all()
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_e),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(g_t), float(g_e), rtol=2e-4)
