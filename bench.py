@@ -14,13 +14,17 @@ Baseline constant: the reference is single-GPU PyTorch-Geometric with no
 recorded hardware (SURVEY §6), so the baseline is OUR estimate, carried
 with explicit error bars.  Provenance chain:
   measured — the torch edge-scatter oracle (the computational structure
-  PyG convs lower to) runs THIS bench graph at ~1.0 M edges/s fwd+bwd+SGD
-  on the 4-thread host CPU (scripts/torch_gat_ratio.py);
-  assumed  — a datacenter GPU (A100-class) runs the same gather/scatter-
-  bound program 30-80x faster than host CPU (HBM 1.5-2 TB/s vs ~10-20 GB/s
-  effective host scatter bandwidth), giving 3e7-8e7 edges/s;
-  5e7 is the center of that band.  The JSON carries the whole band:
-  `vs_baseline` uses 5e7, `vs_baseline_range` = [vs 8e7, vs 3e7].
+  PyG convs lower to) runs THIS bench graph at 0.18 M edges/s fwd+bwd+SGD
+  on the quiet 4-thread host CPU (scripts/torch_gat_ratio.py, round 4:
+  GCN 16.2 s/step, GAT/GCN cost ratio 3.69x).  This anchors the RATIO
+  between layers and floors the absolute; it does NOT extrapolate to a
+  GPU by bandwidth scaling (that would need a ~300x factor to reach 5e7 —
+  GPU scatter efficiency differs too much from torch-CPU index_add);
+  assumed  — published PyG full-batch 2-layer GCN epoch times on
+  arxiv-scale graphs on datacenter GPUs cluster around 15-45 ms
+  => 3e7-8e7 edges/s; 5e7 is the center of that band.  The JSON carries
+  the whole band: `vs_baseline` uses 5e7, `vs_baseline_range` =
+  [vs 8e7, vs 3e7].
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "vs_baseline_range", "baseline_note"}.
@@ -286,13 +290,15 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / REF_EDGES_PER_SEC, 4),
         # the baseline constant is OUR estimate (the reference publishes no
-        # numbers): torch CPU oracle measured at ~1.0 M edges/s on this
-        # graph x an assumed 30-80x datacenter-GPU factor => 3e7-8e7 band;
-        # the range is [pessimistic vs 8e7, optimistic vs 3e7]
+        # numbers): 3e7-8e7 edges/s spans published PyG full-batch GCN
+        # epoch times on arxiv-scale graphs on datacenter GPUs; the torch
+        # CPU oracle (0.18 M edges/s here) anchors the layer-cost ratios
+        # and the floor.  Range = [pessimistic vs 8e7, optimistic vs 3e7]
         "vs_baseline_range": [round(edges_per_sec / 8.0e7, 4),
                               round(edges_per_sec / 3.0e7, 4)],
-        "baseline_note": "5e7 edges/s assumed PyG GPU rate "
-                         "(torch CPU oracle x 30-80x GPU factor)",
+        "baseline_note": "5e7 edges/s assumed PyG datacenter-GPU rate "
+                         "(published-range center; CPU oracle 0.18M "
+                         "anchors ratios/floor)",
     }))
 
 
