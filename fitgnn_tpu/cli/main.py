@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bounded to 2x instead of max-size x count — "
                         "required at products scale, where the single-pad "
                         "batch is tens of GB of zeros")
+        sp.add_argument("--max_buckets", type=int, default=0,
+                        help="cap the bucket count (= compiled train/eval "
+                        "programs) by merging adjacent size groups with "
+                        "least added padding; 0 = one bucket per "
+                        "power-of-two size")
         return sp
 
     t = common(sub.add_parser("train"))
@@ -118,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Gs eval scans subgraph-axis chunks of this size "
                    "(bounds activation memory at products scale); 0 = "
                    "whole-bucket vmap")
+    t.add_argument("--chunk_budget", type=int, default=1 << 28,
+                   help="static per-chunk activation budget in ELEMENTS "
+                        "for MB batches and eval chunks (the vmapped convs "
+                        "materialize (chunk, E_pad, hidden) messages); "
+                        "lower it when many large programs must coexist "
+                        "on one chip (products-scale curriculum)")
     t.add_argument("--fused_epochs", action="store_true",
                    help="run the Gc phase as one jitted lax.scan over "
                         "epochs (one dispatch per phase; ignored when "
@@ -263,7 +274,8 @@ def _partition(args, ds, train, val, test, num_classes):
             method=args.coarsening_method, mode=_node_mode(args), task=task,
             num_classes=num_classes, train_mask=train, val_mask=val,
             test_mask=test, seed=args.seed,
-            bucket=getattr(args, "bucket_sizes", False))
+            bucket=getattr(args, "bucket_sizes", False),
+            max_buckets=getattr(args, "max_buckets", 0))
 
     cache = ArtifactCache(os.path.join(args.data_root, args.dataset, "saved"))
     # the full split masks are baked into the cached SubgraphBatch, so they
@@ -279,7 +291,8 @@ def _partition(args, ds, train, val, test, num_classes):
          "val_mask": _mask_arr(val), "test_mask": _mask_arr(test)},
         {"ratio": args.coarsening_ratio, "method": args.coarsening_method,
          "mode": _node_mode(args), "task": args.task, "seed": args.seed,
-         "bucket": getattr(args, "bucket_sizes", False)})
+         "bucket": getattr(args, "bucket_sizes", False),
+         "max_buckets": getattr(args, "max_buckets", 0)})
     part, hit = cache.load_or_compute(key, compute)
     if hit:
         print(f"partition artifacts loaded from cache ({key})",
@@ -363,7 +376,8 @@ def cmd_train(args) -> int:
         early_stopping=args.early_stopping,
         fused_epochs=args.fused_epochs,
         bucket_sizes=args.bucket_sizes,
-        eval_chunk=args.eval_chunk)
+        eval_chunk=args.eval_chunk,
+        chunk_elem_budget=args.chunk_budget)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     print(f"checkpoint saved: {save_path}")
     s = res.summary

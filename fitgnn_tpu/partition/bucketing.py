@@ -46,19 +46,42 @@ def bucket_subgraphs_with_index(
     val_mask: Optional[np.ndarray] = None,
     test_mask: Optional[np.ndarray] = None,
     min_bucket: int = 32,
+    max_buckets: int = 0,
     **pad_kwargs,
 ):
     """Like ``bucket_subgraphs``, also returning the placement index:
     ``index[i] = (bucket, position)`` of input spec ``i`` — so callers that
     address subgraphs by their original id (the node→metanode ``parent``
-    map, inference sampling) keep working on bucketed batches."""
+    map, inference sampling) keep working on bucketed batches.
+
+    ``max_buckets > 0`` caps the number of buckets (= compiled train/eval
+    programs: at products scale every extra bucket is another GB-workspace
+    executable the chip must hold).  Adjacent power-of-two groups are merged
+    greedily by least added padding waste (node-slots), so the cap trades a
+    bounded amount of padding for fewer programs."""
     sizes = np.array([s.num_nodes for s in specs])
     caps = np.maximum(
         min_bucket,
         2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64))
+    uniq = list(np.unique(caps))
+    if max_buckets and len(uniq) > max_buckets:
+        # group[j] = list of original caps merged into uniq-cap group j;
+        # merging group j into j+1 re-pads j's subgraphs to caps[j+1]
+        counts = {c: int((caps == c).sum()) for c in uniq}
+        groups = [[c] for c in uniq]
+        while len(groups) > max_buckets:
+            waste = [
+                sum((groups[j + 1][-1] - c) * counts[c] for c in groups[j])
+                for j in range(len(groups) - 1)]
+            j = int(np.argmin(waste))
+            groups[j + 1] = groups[j] + groups[j + 1]
+            del groups[j]
+        remap = {c: g[-1] for g in groups for c in g}
+        caps = np.array([remap[c] for c in caps])
+        uniq = [g[-1] for g in groups]
     batches: List[SubgraphBatch] = []
     index = np.zeros((len(specs), 2), dtype=np.int64)
-    for b, cap in enumerate(np.unique(caps)):
+    for b, cap in enumerate(uniq):
         sel = np.flatnonzero(caps == cap)
         index[sel, 0] = b
         index[sel, 1] = np.arange(len(sel))

@@ -89,6 +89,7 @@ def coarsen_and_partition(
     node_pad_to: int = 8,
     edge_pad_to: int = 128,
     bucket: bool = False,
+    max_buckets: int = 0,
 ) -> PartitionedDataset:
     N = x.shape[0]
     W = _component_adjacency(senders, receivers, N)
@@ -147,7 +148,7 @@ def coarsen_and_partition(
         batches, index = bucket_subgraphs_with_index(
             specs, y=y, train_mask=train_mask, val_mask=val_mask,
             test_mask=test_mask, node_pad_to=node_pad_to,
-            edge_pad_to=edge_pad_to)
+            edge_pad_to=edge_pad_to, max_buckets=max_buckets)
         return PartitionedDataset(parent=parent, coarse=coarse,
                                   subgraphs=tuple(batches),
                                   num_metanodes=num_meta,

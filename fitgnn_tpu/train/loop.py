@@ -351,6 +351,12 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         gs_eval_fn = lambda state, split: _gs_eval(  # noqa: E731
             state, batches, cfg.task, split, chunk=cfg.eval_chunk, cfg=cfg)
 
+    def vprint(msg):
+        # flushed progress lines: products-scale phases run for minutes per
+        # compile — an opaque subprocess is undebuggable (round-4 flagship)
+        if verbose:
+            print(msg, flush=True)
+
     results: List[RunResult] = []
     for run in range(cfg.runs):
         writer = None
@@ -373,6 +379,7 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         best_val = np.inf
 
         if cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train"):
+            t_gc = time.perf_counter()
             if hier_gc is not None:
                 hier_train_fn, hier_val_fn = hier_gc
                 since_best = 0
@@ -381,6 +388,9 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                     state, train_loss = hier_train_fn(state, step_rng)
                     val_loss, _ = hier_val_fn(state)
                     val_loss = float(val_loss)
+                    if epoch < 2 or epoch % 10 == 0:
+                        vprint(f"[Gc hier] epoch {epoch}: val={val_loss:.4f}"
+                               f" {time.perf_counter()-t_gc:.0f}s")
                     log("Gc_train_loss", float(train_loss), epoch)
                     log("Gc_val_loss", val_loss, epoch)
                     if val_loss < best_val or epoch == 0:
@@ -401,6 +411,9 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                         step_rng, cfg.epochs1, cfg.task,
                         reduction=cfg.loss_reduction))
                 best_val = float(best_val)
+                vprint(f"[Gc fused] {cfg.epochs1} epochs: "
+                       f"best_val={best_val:.4f} "
+                       f"{time.perf_counter()-t_gc:.0f}s")
                 for epoch, (tl, vl) in enumerate(zip(np.asarray(tr_losses),
                                                      np.asarray(val_losses))):
                     log("Gc_train_loss", float(tl), epoch)
@@ -419,6 +432,9 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                     val_loss = float(val_loss)
                     log("Gc_train_loss", float(train_loss), epoch)
                     log("Gc_val_loss", val_loss, epoch)
+                    if epoch < 2 or epoch % 10 == 0:
+                        vprint(f"[Gc] epoch {epoch}: val={val_loss:.4f}"
+                               f" {time.perf_counter()-t_gc:.0f}s")
                     if val_loss < best_val or epoch == 0:
                         best_val = val_loss
                         best_params = state.params
@@ -435,11 +451,18 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                 state = state.replace(params=best_params)
             best_val = np.inf
             since_best = 0
+            t_gs = time.perf_counter()
             for epoch in range(cfg.epochs2):
                 rng, step_rng = jax.random.split(rng)
                 state, train_loss = gs_train_fn(state, step_rng)
+                t_tr = time.perf_counter()
+                vprint(f"[Gs] epoch {epoch}: train={float(train_loss):.4f}"
+                       f" {t_tr-t_gs:.0f}s")
                 val_loss, val_acc = gs_eval_fn(state, "val")
                 val_loss = float(val_loss)
+                vprint(f"[Gs] epoch {epoch}: val={val_loss:.4f}"
+                       f" acc={float(val_acc):.4f}"
+                       f" {time.perf_counter()-t_gs:.0f}s")
                 log("Gs_train_loss", float(train_loss), epoch)
                 log("Gs_val_loss", val_loss, epoch)
                 log("Gs_val_acc", float(val_acc), epoch)

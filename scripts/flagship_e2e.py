@@ -46,6 +46,9 @@ COMMON_ARGS = [
     "--coarsening_ratio", "0.5",
     "--coarsening_method", "variation_neighborhoods",
     "--extra_node", "--use_community_detection", "--bucket_sizes",
+    # 2 buckets = 2 MB-train + 2 eval executables instead of 5+5: every
+    # extra GB-workspace program raises the tunnel worker's crash odds
+    "--max_buckets", "2",
 ]
 MODEL_ARGS = ["--layer_name", "GCNConv", "--hidden", "512",
               "--num_layers1", "2"]
@@ -96,16 +99,20 @@ def cli(ws: str, argv, platform=None, tee=None):
     if platform:
         env["JAX_PLATFORMS"] = platform
     print(f"$ fitgnn-tpu {' '.join(argv)}", flush=True)
-    p = subprocess.run([sys.executable, "-m", "fitgnn_tpu.cli.main"] + argv,
-                       cwd=ws, env=env, capture_output=True, text=True)
-    sys.stdout.write(p.stdout)
-    sys.stderr.write(p.stderr[-4000:])
-    if tee:
-        with open(os.path.join(ws, tee), "a") as f:
-            f.write(p.stdout + p.stderr)
+    # stream stdout+stderr LIVE into the tee file (a buffered subprocess
+    # hides an hour of per-phase progress until exit — round-4 flagship)
+    log_path = os.path.join(ws, tee or "cli.log")
+    with open(log_path, "a") as f:
+        f.write(f"\n$ fitgnn-tpu {' '.join(argv)}\n")
+        f.flush()
+        p = subprocess.run([sys.executable, "-m", "fitgnn_tpu.cli.main"]
+                           + argv, cwd=ws, env=env, stdout=f,
+                           stderr=subprocess.STDOUT, text=True)
+    out = open(log_path).read()
+    sys.stdout.write(out[-8000:])
     if p.returncode:
         raise SystemExit(f"CLI failed ({p.returncode})")
-    return p.stdout
+    return out
 
 
 def main():
@@ -116,8 +123,15 @@ def main():
                              "memory"])
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs2", type=int, default=20)
-    ap.add_argument("--batch_size", type=int, default=2048)
+    ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--eval_chunk", type=int, default=8192)
+    # ~256 MB per (chunk, E_pad, hidden) message buffer: the Gc program +
+    # 5 MB-train + 5 eval executables must COEXIST on one chip; 1<<28
+    # workspaces measured to crash the tunnel worker at program load
+    ap.add_argument("--chunk_budget", type=int, default=1 << 26)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="extra attempts for the train stage when the "
+                         "tunnel worker dies mid-run")
     ap.add_argument("--platform", default=None,
                     help="override JAX_PLATFORMS for the device stages")
     args = ap.parse_args()
@@ -148,16 +162,30 @@ def main():
             ws, ["save-graphs", *COMMON_ARGS], platform="cpu"))
 
     if "train" in stages:
-        tic("train", lambda: cli(
-            ws, ["train", *TRAIN_ARGS, "--train_fitgnn",
-                 "--exp_setup", "Gc_train_2_Gs_train",
-                 "--epochs1", str(args.epochs1),
-                 "--epochs2", str(args.epochs2),
-                 "--gradient_method", "MB",
-                 "--batch_size", str(args.batch_size),
-                 "--eval_chunk", str(args.eval_chunk),
-                 "--fused_epochs"],
-            platform=args.platform, tee="train.log"))
+        def train_once():
+            cli(ws, ["train", *TRAIN_ARGS, "--train_fitgnn",
+                     "--exp_setup", "Gc_train_2_Gs_train",
+                     "--epochs1", str(args.epochs1),
+                     "--epochs2", str(args.epochs2),
+                     "--gradient_method", "MB",
+                     "--batch_size", str(args.batch_size),
+                     "--eval_chunk", str(args.eval_chunk),
+                     "--chunk_budget", str(args.chunk_budget),
+                     "--fused_epochs"],
+                platform=args.platform, tee="train.log")
+
+        def train_retry():
+            # the tunnel's TPU worker intermittently dies mid-session under
+            # many large resident executables; a fresh process recovers it
+            for attempt in range(args.retries):
+                try:
+                    return train_once()
+                except SystemExit as e:
+                    print(f"train attempt {attempt + 1} failed ({e}); "
+                          f"retrying", flush=True)
+            return train_once()
+
+        tic("train", train_retry)
 
     if "infer" in stages:
         tic("infer", lambda: cli(

@@ -47,6 +47,47 @@ class TestBucketing:
             n = b.num_nodes_padded
             assert n >= 8
 
+    def test_max_buckets_cap_preserves_cover(self):
+        """max_buckets merges size groups without losing any consuming
+        node, and the placement index stays consistent."""
+        from fitgnn_tpu.partition.bucketing import (
+            bucket_subgraphs_with_index)
+        x, s, r, y = sbm_graph(num_nodes=300, num_classes=3,
+                               num_features=16, p_in=0.08, p_out=0.01,
+                               seed=0)
+        train, val, test = splits_classification(y, 3, "random", seed=0)
+        ds = coarsen_and_partition(
+            x, s, r, y, reduction=0.5, method="variation_neighborhoods",
+            mode="extra_node", task="classification", num_classes=3,
+            train_mask=train, val_mask=val, test_mask=test, seed=0)
+        W = _component_adjacency(s, r, 300)
+        specs = extract_subgraphs(W, x, ds.parent, mode="extra_node")
+        full, _ = bucket_subgraphs_with_index(specs, y=y, train_mask=train,
+                                              val_mask=val, test_mask=test)
+        for cap in (1, 2):
+            bks, idx = bucket_subgraphs_with_index(
+                specs, y=y, train_mask=train, val_mask=val, test_mask=test,
+                max_buckets=cap)
+            assert len(bks) <= max(cap, 1)
+            owned = []
+            for b in bks:
+                orig = np.asarray(b.orig_idx)
+                consume = np.asarray(b.consume_mask)
+                owned.append(orig[consume & (orig >= 0)])
+            np.testing.assert_array_equal(
+                np.sort(np.concatenate(owned)), np.arange(300))
+            # index addresses every spec's own subgraph
+            for i in (0, len(specs) - 1):
+                b, pos = idx[i]
+                orig = np.asarray(bks[b].orig_idx[pos])
+                want = specs[i].orig_idx[specs[i].orig_idx >= 0]
+                assert set(want) <= set(orig[orig >= 0])
+        # cap >= group count is a no-op
+        same, _ = bucket_subgraphs_with_index(
+            specs, y=y, train_mask=train, val_mask=val, test_mask=test,
+            max_buckets=len(full))
+        assert len(same) == len(full)
+
     def test_multi_bucket_step_matches_single(self):
         """GD over buckets == GD over the single global-padded batch."""
         ds, buckets, _ = make_setup()
