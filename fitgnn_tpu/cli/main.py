@@ -786,6 +786,9 @@ def cmd_infer(args, baseline: bool = False) -> int:
         part = _partition(args, ds, train, val, test, num_classes)
         g0 = (part.subgraphs if isinstance(part.subgraphs, SubgraphBatch)
               else part.subgraphs[0]).subgraph(0)
+        # cache artifacts are host numpy; init runs eagerly (unlike the
+        # jitted timed forward, which converts operands itself)
+        g0 = jax.device_put(g0)
         params = model.init(jax.random.PRNGKey(args.seed), g0.x, g0)
         if ckpt:
             from fitgnn_tpu.train.checkpoint import restore_params

@@ -119,8 +119,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workspace", default="/tmp/flagship")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "synth", "ingest", "train", "infer",
-                             "memory"])
+                    choices=["all", "synth", "ingest", "train",
+                             "train-baseline", "infer", "memory"])
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs2", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=512)
@@ -146,7 +146,8 @@ def main():
         print(f"[{name}] {timings[name]:.1f} s", flush=True)
 
     stages = ([args.stage] if args.stage != "all"
-              else ["synth", "ingest", "train", "infer", "memory"])
+              else ["synth", "ingest", "train", "train-baseline", "infer",
+                    "memory"])
 
     if "synth" in stages:
         npz = os.path.join(ws, "dataset", "productsproxy",
@@ -186,6 +187,16 @@ def main():
             return train_once()
 
         tic("train", train_retry)
+
+    if "train-baseline" in stages:
+        # full-graph training on the 165k community proxy (the reference
+        # trains the products baseline on the same merged proxy,
+        # main.py:247-267 -> run.py:832); supplies the checkpoint
+        # infer-baseline's timed protocol loads
+        tic("train-baseline", lambda: cli(
+            ws, ["train", *TRAIN_ARGS, "--baseline",
+                 "--epochs1", str(args.epochs1), "--fused_epochs"],
+            platform=args.platform, tee="train_baseline.log"))
 
     if "infer" in stages:
         tic("infer", lambda: cli(
