@@ -129,6 +129,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "materialize (chunk, E_pad, hidden) messages); "
                         "lower it when many large programs must coexist "
                         "on one chip (products-scale curriculum)")
+    t.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save a full resume checkpoint (params + opt state "
+                        "+ rng + phase/epoch cursor) every N epochs; with "
+                        "--resume a killed products-scale run continues "
+                        "instead of restarting")
+    t.add_argument("--resume", action="store_true",
+                   help="load the resume checkpoint for this output_dir "
+                        "if one exists and continue from its cursor")
     t.add_argument("--fused_epochs", action="store_true",
                    help="run the Gc phase as one jitted lax.scan over "
                         "epochs (one dispatch per phase; ignored when "
@@ -377,7 +385,16 @@ def cmd_train(args) -> int:
         fused_epochs=args.fused_epochs,
         bucket_sizes=args.bucket_sizes,
         eval_chunk=args.eval_chunk,
-        chunk_elem_budget=args.chunk_budget)
+        chunk_elem_budget=args.chunk_budget,
+        resume_path=(os.path.join("save", args.task, args.output_dir,
+                                  "resume")
+                     if (args.resume or args.checkpoint_every) else None),
+        checkpoint_every=args.checkpoint_every)
+    if cfg.resume_path and not args.resume:
+        # --checkpoint_every without --resume = fresh run: a stale cursor
+        # from an earlier session must not silently skip its epochs
+        import shutil
+        shutil.rmtree(cfg.resume_path, ignore_errors=True)
     res = run_node_task(cfg, part.coarse, part.subgraphs, verbose=True)
     print(f"checkpoint saved: {save_path}")
     s = res.summary

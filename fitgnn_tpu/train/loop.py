@@ -112,6 +112,14 @@ class NodeTaskConfig:
                                           # chunks of this size (bounds
                                           # activation memory; products-scale
                                           # buckets hold ~80k subgraphs)
+    resume_path: Optional[str] = None     # orbax dir for MID-TRAINING resume
+                                          # checkpoints (state + rng + phase/
+                                          # epoch cursor); load-if-exists at
+                                          # start, so a killed products run
+                                          # continues instead of restarting
+                                          # (the reference has no analog)
+    checkpoint_every: int = 0             # epochs between resume saves
+                                          # (0 = phase boundaries only)
     chunk_elem_budget: int = 1 << 28      # static per-chunk activation
                                           # budget in ELEMENTS: the vmapped
                                           # convs materialize (chunk, E_pad,
@@ -358,16 +366,23 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             print(msg, flush=True)
 
     results: List[RunResult] = []
+    resume_checked = False
+    skip_runs = 0          # runs already completed by a resumed session
+    cursor = None          # (phase, next_epoch, since_best) for the resumed
+                           # run; None = fresh
+
+    def save_resume(state, best_params, best_val, rng, phase, epoch, run,
+                    since_best=0):
+        if cfg.resume_path is None:
+            return
+        from fitgnn_tpu.train import checkpoint as ckpt
+        ckpt.save_resume(
+            cfg.resume_path, state, best_params, best_val, rng, phase,
+            epoch, run,
+            [[r.test_loss, r.test_acc, r.test_time] for r in results],
+            since_best=since_best)
+
     for run in range(cfg.runs):
-        writer = None
-        if cfg.logdir is not None:
-            from fitgnn_tpu.utils.logging import ScalarWriter
-            writer = ScalarWriter(cfg.logdir, run=run + 1)
-
-        def log(tag, value, step):
-            if writer is not None:
-                writer.add_scalar(tag, value, step)
-
         rng = jax.random.PRNGKey(cfg.seed + run)
         rng, init_rng = jax.random.split(rng)
         example = (coarse.graph if coarse is not None
@@ -378,12 +393,49 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         best_params = state.params
         best_val = np.inf
 
-        if cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train"):
+        if cfg.resume_path is not None and not resume_checked:
+            resume_checked = True
+            from fitgnn_tpu.train import checkpoint as ckpt
+            r = ckpt.load_resume(cfg.resume_path, state, rng)
+            if r is not None:
+                (rstate, rbest_p, rbest_v, rrng, phase, epoch,
+                 skip_runs, done, since_best) = r
+                for tl, ta, tt in done:
+                    results.append(RunResult(test_loss=float(tl),
+                                             test_acc=float(ta),
+                                             test_time=float(tt)))
+                cursor = (phase, epoch + 1, since_best,
+                          rstate, rbest_p, rbest_v, rrng)
+                vprint(f"[resume] run {skip_runs} {phase} "
+                       f"epoch {epoch + 1} ({len(results)} runs done)")
+        if run < skip_runs:
+            continue
+        my_cursor, cursor = (cursor if run == skip_runs else None), None
+        if my_cursor is not None:
+            (_, _, _, state, best_params, best_val, rng) = my_cursor
+            my_cursor = my_cursor[:3]
+
+        writer = None
+        if cfg.logdir is not None:
+            from fitgnn_tpu.utils.logging import ScalarWriter
+            writer = ScalarWriter(cfg.logdir, run=run + 1)
+
+        def log(tag, value, step):
+            if writer is not None:
+                writer.add_scalar(tag, value, step)
+
+        gc_start, gc_sb = 0, 0
+        if my_cursor is not None and my_cursor[0] == "gc":
+            gc_start, gc_sb = my_cursor[1], my_cursor[2]
+        run_gc = my_cursor is None or my_cursor[0] == "gc"
+
+        if (cfg.exp_setup in ("Gc_train_2_Gs_infer", "Gc_train_2_Gs_train")
+                and run_gc):
             t_gc = time.perf_counter()
             if hier_gc is not None:
                 hier_train_fn, hier_val_fn = hier_gc
-                since_best = 0
-                for epoch in range(cfg.epochs1):
+                since_best = gc_sb
+                for epoch in range(gc_start, cfg.epochs1):
                     rng, step_rng = jax.random.split(rng)
                     state, train_loss = hier_train_fn(state, step_rng)
                     val_loss, _ = hier_val_fn(state)
@@ -402,6 +454,10 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                         if (cfg.early_stopping
                                 and since_best >= cfg.early_stopping):
                             break
+                    if (cfg.checkpoint_every
+                            and (epoch + 1) % cfg.checkpoint_every == 0):
+                        save_resume(state, best_params, best_val, rng,
+                                    "gc", epoch, run, since_best)
             elif cfg.fused_epochs and not cfg.early_stopping:
                 rng, step_rng = jax.random.split(rng)
                 state, best_params, best_val, tr_losses, val_losses = (
@@ -419,8 +475,8 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                     log("Gc_train_loss", float(tl), epoch)
                     log("Gc_val_loss", float(vl), epoch)
             else:
-                since_best = 0
-                for epoch in range(cfg.epochs1):
+                since_best = gc_sb
+                for epoch in range(gc_start, cfg.epochs1):
                     rng, step_rng = jax.random.split(rng)
                     state, train_loss = steps.gc_train_step(
                         state, coarse.graph, coarse.y_train,
@@ -444,15 +500,26 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                         if (cfg.early_stopping
                                 and since_best >= cfg.early_stopping):
                             break
+                    if (cfg.checkpoint_every
+                            and (epoch + 1) % cfg.checkpoint_every == 0):
+                        save_resume(state, best_params, best_val, rng,
+                                    "gc", epoch, run, since_best)
 
         if cfg.exp_setup in ("Gs_train_2_Gs_infer", "Gc_train_2_Gs_train"):
-            if cfg.exp_setup == "Gc_train_2_Gs_train":
-                # weight transfer: resume from the best Gc params
-                state = state.replace(params=best_params)
-            best_val = np.inf
-            since_best = 0
+            resumed_gs = my_cursor is not None and my_cursor[0] == "gs"
+            gs_start, gs_sb = (my_cursor[1], my_cursor[2]) if resumed_gs \
+                else (0, 0)
+            if not resumed_gs:
+                if cfg.exp_setup == "Gc_train_2_Gs_train":
+                    # weight transfer: resume from the best Gc params
+                    state = state.replace(params=best_params)
+                best_val = np.inf
+                # phase boundary: a resumed session skips the Gc phase
+                save_resume(state, state.params, best_val, rng,
+                            "gs", -1, run)
+            since_best = gs_sb
             t_gs = time.perf_counter()
-            for epoch in range(cfg.epochs2):
+            for epoch in range(gs_start, cfg.epochs2):
                 rng, step_rng = jax.random.split(rng)
                 state, train_loss = gs_train_fn(state, step_rng)
                 t_tr = time.perf_counter()
@@ -475,6 +542,10 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                     if (cfg.early_stopping
                             and since_best >= cfg.early_stopping):
                         break
+                if (cfg.checkpoint_every
+                        and (epoch + 1) % cfg.checkpoint_every == 0):
+                    save_resume(state, best_params, best_val, rng,
+                                "gs", epoch, run, since_best)
                 if (cfg.run_intermediate_inference
                         and epoch % cfg.intermediate_inference_freq == 0):
                     # periodic test with the best-so-far params
@@ -503,6 +574,8 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         elapsed = time.perf_counter() - t0
         results.append(RunResult(test_loss=test_loss, test_acc=test_metric,
                                  test_time=elapsed))
+        # run-complete marker: a resumed session starts the NEXT run fresh
+        save_resume(state, best_params, best_val, rng, "gc", -1, run + 1)
         if cfg.save_path is not None:
             from fitgnn_tpu.train.checkpoint import save_params
             save_params(cfg.save_path, best_params)

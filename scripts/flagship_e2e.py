@@ -163,7 +163,7 @@ def main():
             ws, ["save-graphs", *COMMON_ARGS], platform="cpu"))
 
     if "train" in stages:
-        def train_once():
+        def train_once(resume):
             cli(ws, ["train", *TRAIN_ARGS, "--train_fitgnn",
                      "--exp_setup", "Gc_train_2_Gs_train",
                      "--epochs1", str(args.epochs1),
@@ -172,19 +172,23 @@ def main():
                      "--batch_size", str(args.batch_size),
                      "--eval_chunk", str(args.eval_chunk),
                      "--chunk_budget", str(args.chunk_budget),
+                     "--checkpoint_every", "5",
+                     *(["--resume"] if resume else []),
                      "--fused_epochs"],
                 platform=args.platform, tee="train.log")
 
         def train_retry():
             # the tunnel's TPU worker intermittently dies mid-session under
             # many large resident executables; a fresh process recovers it
+            # and --resume continues from the last 5-epoch checkpoint
+            # instead of restarting the curriculum
             for attempt in range(args.retries):
                 try:
-                    return train_once()
+                    return train_once(resume=attempt > 0)
                 except SystemExit as e:
                     print(f"train attempt {attempt + 1} failed ({e}); "
-                          f"retrying", flush=True)
-            return train_once()
+                          f"resuming", flush=True)
+            return train_once(resume=args.retries > 0)
 
         tic("train", train_retry)
 
