@@ -163,10 +163,21 @@ class SAGEConv(nn.Module):
             agg = lambda h: hybrid_spmm(g.aux, h)          # noqa: E731
         else:
             w = _nonself_weight(g)
-            from fitgnn_tpu.ops.segment import take_rows
-            agg = lambda h: segment_mean(take_rows(h, g.senders),  # noqa: E731
-                                         g.receivers, g.num_nodes_padded,
-                                         mask=w > 0)
+            from fitgnn_tpu.ops.spmm import use_dense
+            if use_dense(g.num_nodes_padded):
+                # neighbor mean as a (w/deg)-weighted SpMM: rides the
+                # dense-adjacency branch (batched MXU matmul under the
+                # vmapped Gs forward) instead of gather + segment_mean
+                deg = segment_sum(w, g.receivers, g.num_nodes_padded)
+                wn = w * (1.0 / jnp.maximum(deg, 1.0))[g.receivers]
+                agg = lambda h: spmm_coo(wn, g.senders,  # noqa: E731
+                                         g.receivers, h,
+                                         g.num_nodes_padded)
+            else:
+                from fitgnn_tpu.ops.segment import take_rows
+                agg = lambda h: segment_mean(  # noqa: E731
+                    take_rows(h, g.senders), g.receivers,
+                    g.num_nodes_padded, mask=w > 0)
         lin_l = nn.Dense(self.features, use_bias=True, name="lin_l",
                          dtype=self.dtype)
         if self.features <= x.shape[-1]:

@@ -143,3 +143,44 @@ class TestSDDMM:
         out = np.asarray(gather_concat_score(jnp.asarray(s), jnp.asarray(r),
                                              jnp.asarray(sa), jnp.asarray(sb)))
         np.testing.assert_allclose(out, sa[s] + sb[r], rtol=1e-5)
+
+
+class TestDenseSmallSpmm:
+    """The N<=FITGNN_DENSE_SPMM_N dense-adjacency branch of spmm_coo must
+    be exactly the segment path's math (flagship small-bucket Gs shapes)."""
+
+    def test_dense_branch_matches_segment_path(self, rng):
+        import importlib
+        spmm_mod = importlib.import_module("fitgnn_tpu.ops.spmm")
+        n, e, f = 40, 256, 32
+        s, r, w = random_coo(rng, n, e)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        args = (jnp.asarray(w), jnp.asarray(s), jnp.asarray(r),
+                jnp.asarray(x), n)
+        old = spmm_mod.DENSE_SPMM_MAX_N
+        try:
+            spmm_mod.DENSE_SPMM_MAX_N = 128
+            dense = np.asarray(spmm_coo(*args))
+            spmm_mod.DENSE_SPMM_MAX_N = 0
+            seg = np.asarray(spmm_coo(*args))
+        finally:
+            spmm_mod.DENSE_SPMM_MAX_N = old
+        np.testing.assert_allclose(dense, seg, rtol=1e-4, atol=1e-4)
+
+    def test_dense_branch_under_vmap(self, rng):
+        """Batched subgraphs (the vmapped Gs forward) hit the same branch
+        and batch the adjacency build + matmul."""
+        S, n, e, f = 5, 24, 64, 8
+        xs, ss, rs_, ws = [], [], [], []
+        for _ in range(S):
+            s, r, w = random_coo(rng, n, e)
+            ss.append(s); rs_.append(r); ws.append(w)
+            xs.append(rng.normal(size=(n, f)).astype(np.float32))
+        ss, rs_, ws, xs = map(np.stack, (ss, rs_, ws, xs))
+        out = jax.vmap(lambda w, s, r, x: spmm_coo(w, s, r, x, n))(
+            jnp.asarray(ws), jnp.asarray(ss), jnp.asarray(rs_),
+            jnp.asarray(xs))
+        for i in range(S):
+            expect = dense_adj(ss[i], rs_[i], ws[i], n) @ xs[i]
+            np.testing.assert_allclose(np.asarray(out)[i], expect,
+                                       rtol=1e-4, atol=1e-4)
