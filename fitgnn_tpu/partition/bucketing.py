@@ -63,15 +63,21 @@ def bucket_subgraphs_with_index(
     caps = np.maximum(
         min_bucket,
         2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64))
+    if max_buckets < 0:
+        raise ValueError(f"max_buckets must be >= 0, got {max_buckets}")
     uniq = list(np.unique(caps))
     if max_buckets and len(uniq) > max_buckets:
         # group[j] = list of original caps merged into uniq-cap group j;
-        # merging group j into j+1 re-pads j's subgraphs to caps[j+1]
+        # merging group j into j+1 re-pads j's subgraphs to caps[j+1].
+        # Incremental cost: group j's members already sit at its CURRENT
+        # cap, so the merge adds (cap_{j+1} − cap_j) per member — charging
+        # against original caps would double-count padding already paid
         counts = {c: int((caps == c).sum()) for c in uniq}
         groups = [[c] for c in uniq]
         while len(groups) > max_buckets:
             waste = [
-                sum((groups[j + 1][-1] - c) * counts[c] for c in groups[j])
+                (groups[j + 1][-1] - groups[j][-1])
+                * sum(counts[c] for c in groups[j])
                 for j in range(len(groups) - 1)]
             j = int(np.argmin(waste))
             groups[j + 1] = groups[j] + groups[j + 1]

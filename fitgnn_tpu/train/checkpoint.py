@@ -62,10 +62,12 @@ _PHASES = ("gc", "gs")
 
 def save_resume(path: str, state: TrainState, best_params: Any,
                 best_val: float, rng: Any, phase: str, epoch: int,
-                run: int, done_results: Any, since_best: int = 0) -> None:
+                run: int, done_results: Any, since_best: int = 0,
+                config_fp: int = 0) -> None:
     import numpy as np
 
     ckpt = {
+        "config_fp": np.int64(config_fp),
         "params": state.params, "opt_state": state.opt_state,
         "step": state.step, "best_params": best_params,
         "best_val": np.float64(best_val), "rng": rng,
@@ -83,7 +85,8 @@ def save_resume(path: str, state: TrainState, best_params: Any,
         ckptr.save(os.path.abspath(path), ckpt, force=True)
 
 
-def load_resume(path: str, state: TrainState, rng_like: Any):
+def load_resume(path: str, state: TrainState, rng_like: Any,
+                config_fp: int = 0):
     """Returns ``(state, best_params, best_val, rng, phase, epoch, run,
     done_results, since_best)`` or ``None`` when no checkpoint exists."""
     import numpy as np
@@ -92,6 +95,7 @@ def load_resume(path: str, state: TrainState, rng_like: Any):
     if not os.path.isdir(path):
         return None
     target = {
+        "config_fp": np.int64(0),
         "params": state.params, "opt_state": state.opt_state,
         "step": state.step, "best_params": state.params,
         "best_val": np.float64(0.0), "rng": rng_like,
@@ -106,6 +110,12 @@ def load_resume(path: str, state: TrainState, rng_like: Any):
         target["done_results"] = np.zeros(
             tuple(meta["done_results"].shape))
         r = ckptr.restore(path, item=target)
+    if config_fp and int(r["config_fp"]) and int(r["config_fp"]) != config_fp:
+        raise ValueError(
+            "resume checkpoint was written under a DIFFERENT config "
+            "(seed/epochs/model/schedule) — continuing would produce "
+            "results belonging to neither; delete the resume dir or "
+            "rerun with the original flags")
     state = state.replace(params=r["params"], opt_state=r["opt_state"],
                           step=r["step"])
     done = np.asarray(r["done_results"]).reshape(-1, 3)

@@ -366,10 +366,20 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             print(msg, flush=True)
 
     results: List[RunResult] = []
-    resume_checked = False
     skip_runs = 0          # runs already completed by a resumed session
-    cursor = None          # (phase, next_epoch, since_best) for the resumed
+    cursor = None          # (phase, next_epoch, since_best, state,
+                           # best_params, best_val, rng) for the resumed
                            # run; None = fresh
+
+    def _config_fp() -> int:
+        # resuming under a changed schedule/model silently produces results
+        # belonging to NEITHER config — fingerprint what shapes the stream
+        import zlib
+        key = (cfg.seed, cfg.epochs1, cfg.epochs2, cfg.runs, cfg.exp_setup,
+               cfg.gradient_method, cfg.batch_size, cfg.layer_name,
+               cfg.hidden, cfg.num_layers, cfg.task, cfg.lr,
+               cfg.weight_decay, cfg.loss_reduction, cfg.early_stopping)
+        return zlib.crc32(repr(key).encode())
 
     def save_resume(state, best_params, best_val, rng, phase, epoch, run,
                     since_best=0):
@@ -380,45 +390,69 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
             cfg.resume_path, state, best_params, best_val, rng, phase,
             epoch, run,
             [[r.test_loss, r.test_acc, r.test_time] for r in results],
-            since_best=since_best)
+            since_best=since_best, config_fp=_config_fp())
 
-    for run in range(cfg.runs):
-        rng = jax.random.PRNGKey(cfg.seed + run)
-        rng, init_rng = jax.random.split(rng)
+    template = rng0 = None
+    if cfg.resume_path is not None:
+        # load ONCE, before any per-run work: skipped runs must not pay a
+        # model-init trace each (the "noop fast" path)
+        from fitgnn_tpu.train import checkpoint as ckpt
+        rng0 = jax.random.PRNGKey(cfg.seed)
+        rng0, init0 = jax.random.split(rng0)
         example = (coarse.graph if coarse is not None
                    else batches[0].subgraph(0))
-        state = steps.create_state(model, init_rng, example.x, example,
-                                   lr=cfg.lr, weight_decay=cfg.weight_decay)
-
-        best_params = state.params
-        best_val = np.inf
-
-        if cfg.resume_path is not None and not resume_checked:
-            resume_checked = True
-            from fitgnn_tpu.train import checkpoint as ckpt
-            r = ckpt.load_resume(cfg.resume_path, state, rng)
-            if r is not None:
-                (rstate, rbest_p, rbest_v, rrng, phase, epoch,
-                 skip_runs, done, since_best) = r
-                for tl, ta, tt in done:
-                    results.append(RunResult(test_loss=float(tl),
-                                             test_acc=float(ta),
-                                             test_time=float(tt)))
+        template = steps.create_state(model, init0, example.x, example,
+                                      lr=cfg.lr,
+                                      weight_decay=cfg.weight_decay)
+        r = ckpt.load_resume(cfg.resume_path, template, rng0,
+                             config_fp=_config_fp())
+        if r is not None:
+            (rstate, rbest_p, rbest_v, rrng, phase, epoch,
+             skip_runs, done, since_best) = r
+            for tl, ta, tt in done:
+                results.append(RunResult(test_loss=float(tl),
+                                         test_acc=float(ta),
+                                         test_time=float(tt)))
+            if epoch + 1 > 0 or phase == "gs":
                 cursor = (phase, epoch + 1, since_best,
                           rstate, rbest_p, rbest_v, rrng)
-                vprint(f"[resume] run {skip_runs} {phase} "
-                       f"epoch {epoch + 1} ({len(results)} runs done)")
+            # else: run-complete marker — the next run starts from a
+            # FRESH init/rng, exactly like an uninterrupted session
+            vprint(f"[resume] run {skip_runs} {phase} "
+                   f"epoch {epoch + 1} ({len(results)} runs done)")
+
+    for run in range(cfg.runs):
         if run < skip_runs:
             continue
         my_cursor, cursor = (cursor if run == skip_runs else None), None
         if my_cursor is not None:
             (_, _, _, state, best_params, best_val, rng) = my_cursor
             my_cursor = my_cursor[:3]
+        else:
+            if run == 0 and template is not None:
+                state, rng = template, rng0   # same init stream, reused
+            else:
+                rng = jax.random.PRNGKey(cfg.seed + run)
+                rng, init_rng = jax.random.split(rng)
+                example = (coarse.graph if coarse is not None
+                           else batches[0].subgraph(0))
+                state = steps.create_state(model, init_rng, example.x,
+                                           example, lr=cfg.lr,
+                                           weight_decay=cfg.weight_decay)
+            best_params = state.params
+            best_val = np.inf
 
         writer = None
         if cfg.logdir is not None:
             from fitgnn_tpu.utils.logging import ScalarWriter
             writer = ScalarWriter(cfg.logdir, run=run + 1)
+            if my_cursor is not None:
+                # the dead session already logged the epochs being
+                # replayed (its last rows postdate the checkpoint) —
+                # drop them so (tag, step) stays unique
+                writer.trim_replay(
+                    "Gs_" if my_cursor[0] == "gs" else "Gc_",
+                    my_cursor[1], gc_done=my_cursor[0] == "gs")
 
         def log(tag, value, step):
             if writer is not None:
@@ -574,11 +608,14 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
         elapsed = time.perf_counter() - t0
         results.append(RunResult(test_loss=test_loss, test_acc=test_metric,
                                  test_time=elapsed))
-        # run-complete marker: a resumed session starts the NEXT run fresh
-        save_resume(state, best_params, best_val, rng, "gc", -1, run + 1)
         if cfg.save_path is not None:
             from fitgnn_tpu.train.checkpoint import save_params
             save_params(cfg.save_path, best_params)
+        # run-complete marker AFTER the model checkpoint: a crash between
+        # the two must re-run the save, not report a "completed" session
+        # whose model.pt was never written.  A resumed session starts the
+        # NEXT run fresh (epoch -1 ⇒ no cursor state applied).
+        save_resume(state, best_params, best_val, rng, "gc", -1, run + 1)
         log("Gs_test_loss", test_loss, run)
         log("Gs_test_acc", test_metric, run)
         if writer is not None:

@@ -30,6 +30,32 @@ class ScalarWriter:
         except Exception:
             pass
 
+    def trim_replay(self, phase_prefix: str, min_step: int,
+                    gc_done: bool = False) -> None:
+        """Drop rows a dead session logged for epochs a resumed session is
+        about to replay (keeps (tag, step) unique): ``phase_prefix`` rows
+        with ``step >= min_step``, plus any later-phase (``Gs_``) rows when
+        the resume point is still in the Gc phase."""
+        path = os.path.join(self.dir, "scalars.jsonl")
+        self._f.close()
+        kept = []
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                tag = row.get("tag", "")
+                replayed = (tag.startswith(phase_prefix)
+                            and row.get("step", 0) >= min_step)
+                if not gc_done and phase_prefix == "Gc_":
+                    replayed = replayed or tag.startswith("Gs_")
+                if not replayed:
+                    kept.append(line)
+        with open(path, "w") as f:
+            f.writelines(kept)
+        self._f = open(path, "a")
+
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._f.write(json.dumps({"tag": tag, "value": float(value),
                                   "step": int(step),

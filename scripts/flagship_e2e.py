@@ -105,10 +105,15 @@ def cli(ws: str, argv, platform=None, tee=None):
     with open(log_path, "a") as f:
         f.write(f"\n$ fitgnn-tpu {' '.join(argv)}\n")
         f.flush()
+        start = f.tell()
         p = subprocess.run([sys.executable, "-m", "fitgnn_tpu.cli.main"]
                            + argv, cwd=ws, env=env, stdout=f,
                            stderr=subprocess.STDOUT, text=True)
-    out = open(log_path).read()
+    # echo/return only THIS invocation's output (the tee file accumulates
+    # across retries and stages sharing it)
+    with open(log_path) as f:
+        f.seek(start)
+        out = f.read()
     sys.stdout.write(out[-8000:])
     if p.returncode:
         raise SystemExit(f"CLI failed ({p.returncode})")

@@ -89,3 +89,59 @@ class TestResume:
         fresh = run_node_task(dataclasses.replace(cfg, resume_path=None),
                               part.coarse, part.subgraphs)
         assert len(fresh.runs) == 2
+
+
+class TestResumeEdges:
+    def test_run_boundary_marker_starts_next_run_fresh(self, part, tmp_path,
+                                                       monkeypatch):
+        """Crash in run 1's Gc phase BEFORE any periodic save: the only
+        checkpoint is run 0's run-complete marker — the resumed run 1 must
+        start from a FRESH init/rng (not run 0's final state) and land on
+        the uninterrupted result."""
+        full = run_node_task(base_cfg(), part.coarse, part.subgraphs)
+
+        rp = str(tmp_path / "resume_marker")
+        # checkpoint_every larger than epochs1 => no mid-Gc periodic saves
+        cfg = base_cfg(resume_path=rp, checkpoint_every=50)
+        calls = {"n": 0}
+        orig = steps.gc_eval_step
+
+        def bomb(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 4:          # run 0 consumes 3 (epochs1=3)
+                raise RuntimeError("simulated worker crash")
+            return orig(*a, **kw)
+
+        import fitgnn_tpu.train.loop as loop_mod
+        monkeypatch.setattr(loop_mod.steps, "gc_eval_step", bomb)
+        with pytest.raises(RuntimeError, match="simulated"):
+            run_node_task(cfg, part.coarse, part.subgraphs)
+        monkeypatch.setattr(loop_mod.steps, "gc_eval_step", orig)
+
+        resumed = run_node_task(cfg, part.coarse, part.subgraphs)
+        assert len(resumed.runs) == 2
+        for a, b in zip(full.runs, resumed.runs):
+            np.testing.assert_allclose(a.test_loss, b.test_loss, rtol=1e-5)
+            np.testing.assert_allclose(a.test_acc, b.test_acc, rtol=1e-6)
+
+    def test_config_mismatch_raises(self, part, tmp_path, monkeypatch):
+        rp = str(tmp_path / "resume_fp")
+        cfg = base_cfg(resume_path=rp, checkpoint_every=1)
+        calls = {"n": 0}
+        orig = steps.gs_eval_step
+
+        def bomb(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("simulated worker crash")
+            return orig(*a, **kw)
+
+        import fitgnn_tpu.train.loop as loop_mod
+        monkeypatch.setattr(loop_mod.steps, "gs_eval_step", bomb)
+        with pytest.raises(RuntimeError):
+            run_node_task(cfg, part.coarse, part.subgraphs)
+        monkeypatch.setattr(loop_mod.steps, "gs_eval_step", orig)
+
+        changed = dataclasses.replace(cfg, seed=99)
+        with pytest.raises(ValueError, match="DIFFERENT config"):
+            run_node_task(changed, part.coarse, part.subgraphs)
