@@ -126,15 +126,37 @@ class GATConv(nn.Module):
                                      att_src=(v_src if narrow
                                               else a_src[0]))[:, None, :]
         else:
-            from fitgnn_tpu.ops.sddmm import gather_concat_score
-            e = gather_concat_score(g.senders, g.receivers,
-                                    score_src, score_dst)    # (E, H)
-            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-            alpha = segment_softmax(e, g.receivers, n,
-                                    mask=g.edge_mask)        # (E, H)
-            from fitgnn_tpu.ops.segment import take_rows
-            msg = take_rows(h, g.senders) * alpha[..., None].astype(h.dtype)
-            out = segment_sum(msg, g.receivers, n)           # (N, H, C|F_in)
+            from fitgnn_tpu.ops.spmm import use_dense
+            if use_dense(n):
+                # dense masked attention for small (bucketed Gs) subgraphs:
+                # one E-element scatter builds the (N, N) edge-count mask,
+                # then scores/softmax/aggregation are (N, N, H) broadcasts
+                # + an MXU matmul — same math as the per-edge segment path
+                # (duplicate edges weight the exp by their count, empty
+                # receivers hit the same 1e-16 denominator clamp)
+                cnt = jnp.zeros((n, n), jnp.float32)
+                cnt = cnt.at[g.receivers, g.senders].add(
+                    jnp.where(g.edge_mask, 1.0, 0.0))
+                s = score_dst[:, None, :] + score_src[None, :, :]
+                s = nn.leaky_relu(s, negative_slope=self.negative_slope)
+                has = (cnt > 0.0)[..., None]                 # (N, N, 1)
+                m = jnp.max(jnp.where(has, s, -1e30), axis=1, keepdims=True)
+                m = jnp.where(m <= -1e29, 0.0, m)
+                p = jnp.where(has, jnp.exp(s - m), 0.0) * cnt[..., None]
+                denom = jnp.maximum(p.sum(axis=1, keepdims=True), 1e-16)
+                alpha = p / denom                            # (N, N, H)
+                out = jnp.einsum("ijh,jhc->ihc", alpha.astype(h.dtype), h)
+            else:
+                from fitgnn_tpu.ops.sddmm import gather_concat_score
+                e = gather_concat_score(g.senders, g.receivers,
+                                        score_src, score_dst)    # (E, H)
+                e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+                alpha = segment_softmax(e, g.receivers, n,
+                                        mask=g.edge_mask)        # (E, H)
+                from fitgnn_tpu.ops.segment import take_rows
+                msg = (take_rows(h, g.senders)
+                       * alpha[..., None].astype(h.dtype))
+                out = segment_sum(msg, g.receivers, n)       # (N, H, C|F_in)
         if narrow:
             # transform AFTER aggregation: (Σ α·x)·W
             out = (out[:, 0, :] @ kernel.astype(dt))[:, None, :]

@@ -184,3 +184,38 @@ class TestGraphModel:
         manual /= manual.sum()
         np.testing.assert_allclose(np.asarray(out)[0], manual, rtol=1e-4,
                                    atol=1e-5)
+
+
+class TestDenseBranchParity:
+    """Every layer's small-N dense branch equals its per-edge segment path
+    (toggled via DENSE_SPMM_MAX_N) — the Gs-phase fast path is pinned to
+    the reference-parity path it replaced."""
+
+    def test_all_layers_dense_equals_segment(self, rng):
+        import importlib
+        import jax
+        from fitgnn_tpu.graph import build_graph
+        spmm_mod = importlib.import_module("fitgnn_tpu.ops.spmm")
+        n, e, f = 60, 240, 12
+        s = rng.integers(0, n, e)
+        r = rng.integers(0, n, e)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        g = build_graph(x, s.astype(np.int32), r.astype(np.int32))
+        old = spmm_mod.DENSE_SPMM_MAX_N
+        try:
+            for name, layer in [
+                ("GCNConv", GCNConv(features=8)),
+                ("GATConv", GATConv(features=8, heads=2)),
+                ("SAGEConv", SAGEConv(features=8)),
+                ("GINConv", GINConv(features=8)),
+            ]:
+                params = layer.init(jax.random.PRNGKey(0), g.x, g)
+                spmm_mod.DENSE_SPMM_MAX_N = 512
+                dense = np.asarray(layer.apply(params, g.x, g))
+                spmm_mod.DENSE_SPMM_MAX_N = 0
+                seg = np.asarray(layer.apply(params, g.x, g))
+                np.testing.assert_allclose(
+                    dense, seg, rtol=2e-4, atol=2e-4,
+                    err_msg=f"{name} dense/segment mismatch")
+        finally:
+            spmm_mod.DENSE_SPMM_MAX_N = old
