@@ -97,6 +97,11 @@ BENCH_ABLATE = os.environ.get("FITGNN_BENCH_ABLATE", "")
 # cluster-summary row via a dense (N, C) MXU block. Value = nodes per
 # cluster (multiple of 128), 0 = off. GATConv only.
 BENCH_CLUSTER_ATT = int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
+# static-semantics analog (GCN/SAGE/GIN, APPROXIMATE): straggler edges
+# aggregate their sender's cluster-mean row via one (N, C) @ (C, F) MXU
+# matmul — the per-edge straggler path disappears. Value = nodes per
+# cluster (multiple of 128), 0 = off.
+BENCH_CLUSTER_SUM = int(os.environ.get("FITGNN_BENCH_CLUSTER_SUM", "0"))
 # hybrid split: top-k straggler senders stay on the exact per-edge path,
 # the tail collapses onto summaries (accuracy/latency frontier knob)
 BENCH_CLUSTER_EXACT = int(os.environ.get("FITGNN_BENCH_CLUSTER_EXACT", "0"))
@@ -167,7 +172,8 @@ def main():
                     y=y, train_mask=train,
                     # cluster summaries reduce over contiguous equal-size
                     # node groups: pad the node space to a whole cluster
-                    node_pad_to=BENCH_CLUSTER_ATT or BENCH_BLOCK)
+                    node_pad_to=BENCH_CLUSTER_ATT or BENCH_CLUSTER_SUM
+                    or BENCH_BLOCK)
     num_edges = int(g.n_edge)
     import jax.numpy as _jnp
     tile_dtype = _jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else None
@@ -188,6 +194,9 @@ def main():
                        semantics=semantics,
                        cluster_att=BENCH_CLUSTER_ATT,
                        cluster_att_exact=BENCH_CLUSTER_EXACT,
+                       cluster_agg=BENCH_CLUSTER_SUM,
+                       cluster_agg_exact=(BENCH_CLUSTER_EXACT
+                                          if BENCH_CLUSTER_SUM else 0),
                        real_nodes=NUM_NODES)
     nb = 0 if hyb.bsr is None else hyb.bsr.nnz_blocks
     nd = 0 if hyb.diag_blocks is None else hyb.diag_blocks.shape[0]
@@ -195,8 +204,9 @@ def main():
           else int((np.asarray(hyb.cluster_count) > 0).sum()))
     print(f"hybrid: {nb} dense tiles"
           + (f" + {nd} diag blocks (r={hyb.diag_r})" if nd else "")
-          + (f" + {nc} cluster-att entries (K={hyb.cluster_size})"
-             if nc else "")
+          + (f" + {nc} cluster-"
+             f"{'att' if BENCH_CLUSTER_ATT else 'agg'} entries "
+             f"(K={hyb.cluster_size}, approximate)" if nc else "")
           + f", {hyb.num_coo_edges} coo edges of {num_edges}",
           file=sys.stderr)
     if BENCH_ABLATE:

@@ -115,6 +115,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "applied to attention; dense MXU block instead of "
                         "per-edge softmax). Value = nodes per cluster, "
                         "multiple of 128; 0 = exact per-edge (default)")
+    t.add_argument("--cluster_aggregation", type=int, default=0,
+                   help="GCN/SAGE/GIN full-graph training: the static-"
+                        "weight analog of --cluster_attention — straggler "
+                        "edges aggregate their sender's cluster-mean row "
+                        "via one (N, C) MXU matmul (APPROXIMATE — the "
+                        "reference's cluster_node idea applied per edge). "
+                        "Value = nodes per cluster, multiple of 128; "
+                        "0 = exact per-edge (default)")
+    t.add_argument("--cluster_aggregation_exact", type=int, default=0,
+                   help="with --cluster_aggregation: the top-k straggler "
+                   "senders (by straggler weight mass) keep the exact "
+                   "per-edge path; only the tail collapses")
     t.add_argument("--preaggregate", action="store_true",
                    help="GCN/SAGE/GIN --baseline: fold layer-0 aggregation "
                         "into ingest (exact — input features are constant; "
@@ -334,12 +346,17 @@ def cmd_train(args) -> int:
     if part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer":
         from fitgnn_tpu.graph.optimize import optimize_coarse, should_use_hybrid
         gc_cluster_att = getattr(args, "cluster_attention", 0)
+        gc_cluster_agg = getattr(args, "cluster_aggregation", 0)
         if gc_cluster_att and args.layer_name != "GATConv":
             raise SystemExit("--cluster_attention is an attention "
                              "factorization (GATConv only)")
-        if gc_cluster_att or should_use_hybrid(int(part.coarse.graph.n_node),
-                                               args.layer_name,
-                                               args.hybrid_spmm):
+        if gc_cluster_agg and args.layer_name == "GATConv":
+            raise SystemExit("--cluster_aggregation is for static-weight "
+                             "layers; use --cluster_attention for GATConv")
+        if (gc_cluster_att or gc_cluster_agg
+                or should_use_hybrid(int(part.coarse.graph.n_node),
+                                     args.layer_name,
+                                     args.hybrid_spmm)):
             # products-scale Gc graphs are full-graph training problems —
             # same Leiden-reorder + hybrid fast path as --baseline
             import jax.numpy as _j
@@ -349,14 +366,18 @@ def cmd_train(args) -> int:
                 tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None,
                 cluster_att=gc_cluster_att,
                 cluster_att_exact=getattr(args, "cluster_attention_exact",
-                                          0))
+                                          0),
+                cluster_agg=gc_cluster_agg,
+                cluster_agg_exact=getattr(args,
+                                          "cluster_aggregation_exact", 0))
             hyb = part.coarse.graph.aux
             nca = (0 if hyb.cluster_count is None
                    else int(np.asarray(hyb.cluster_count > 0).sum()))
+            ckind = "attention" if gc_cluster_att else "aggregation"
             print(f"Gc hybrid operator: "
                   f"{0 if hyb.bsr is None else hyb.bsr.nnz_blocks} dense "
                   f"tiles, {hyb.num_coo_edges} straggler edges"
-                  + (f", {nca} cluster-attention entries "
+                  + (f", {nca} cluster-{ckind} entries "
                      f"(K={hyb.cluster_size}, approximate)" if nca else ""))
 
     task = "classification" if args.task == "node_cls" else "regression"
@@ -455,11 +476,16 @@ def _cmd_train_baseline(args) -> int:
     from fitgnn_tpu.graph.optimize import (build_optimized_graph,
                                            should_use_hybrid)
     cluster_att = getattr(args, "cluster_attention", 0)
+    cluster_agg = getattr(args, "cluster_aggregation", 0)
     if cluster_att and args.layer_name != "GATConv":
         raise SystemExit("--cluster_attention is an attention "
                          "factorization (GATConv only)")
-    if cluster_att or should_use_hybrid(ds.num_nodes, args.layer_name,
-                                        args.hybrid_spmm):
+    if cluster_agg and args.layer_name == "GATConv":
+        raise SystemExit("--cluster_aggregation is for static-weight "
+                         "layers; use --cluster_attention for GATConv")
+    if (cluster_att or cluster_agg
+            or should_use_hybrid(ds.num_nodes, args.layer_name,
+                                 args.hybrid_spmm)):
         # full-graph fast path: Leiden reorder + BCSR/COO hybrid operator
         # (exact — node permutation; see graph/optimize.py).  With
         # --cluster_attention the straggler remainder is APPROXIMATE
@@ -471,12 +497,16 @@ def _cmd_train_baseline(args) -> int:
             min_block_edges=args.hybrid_threshold,
             tile_dtype=_j.bfloat16 if args.hybrid_bf16_tiles else None,
             cluster_att=cluster_att,
+            cluster_att_exact=getattr(args, "cluster_attention_exact", 0),
+            cluster_agg=cluster_agg,
+            cluster_agg_exact=getattr(args, "cluster_aggregation_exact", 0),
             seed=args.seed)
         nca = (0 if g.aux.cluster_count is None
                else int(np.asarray(g.aux.cluster_count > 0).sum()))
+        ckind = "attention" if cluster_att else "aggregation"
         print(f"hybrid operator: {0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks}"
               f" dense tiles, {g.aux.num_coo_edges} straggler edges"
-              + (f", {nca} cluster-attention entries "
+              + (f", {nca} cluster-{ckind} entries "
                  f"(K={g.aux.cluster_size}, approximate)" if nca else ""))
     else:
         g = build_graph(ds.x, ds.senders, ds.receivers, y=ds.y,

@@ -59,6 +59,8 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                           use_diag: bool = False,
                           cluster_att: int = 0,
                           cluster_att_exact: int = 0,
+                          cluster_agg: int = 0,
+                          cluster_agg_exact: int = 0,
                           seed: int = 0) -> tuple[Graph, np.ndarray]:
     """Reorder nodes by two-level Leiden communities, build the padded
     ``Graph`` and attach a ``HybridSpmm`` operator as ``g.aux``.
@@ -79,16 +81,18 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
     def perm(a):
         return None if a is None else np.asarray(a)[order]
 
-    if cluster_att and (cluster_att % 128 or cluster_att <= 0):
-        raise ValueError(f"cluster_att={cluster_att} must be a positive "
-                         "multiple of the 128 tile block")
+    for nm, K in (("cluster_att", cluster_att), ("cluster_agg",
+                                                  cluster_agg)):
+        if K and (K % 128 or K <= 0):
+            raise ValueError(f"{nm}={K} must be a positive "
+                             "multiple of the 128 tile block")
     g = build_graph(np.asarray(x)[order], inv[senders].astype(np.int32),
                     inv[receivers].astype(np.int32), y=perm(y),
                     train_mask=perm(train_mask), val_mask=perm(val_mask),
                     test_mask=perm(test_mask),
                     # cluster summaries reduce over contiguous equal-size
                     # node groups: pad the node space to a whole cluster
-                    node_pad_to=cluster_att or 128)
+                    node_pad_to=cluster_att or cluster_agg or 128)
     semantics = _LAYER_SEMANTICS[layer_name]
     w_op = _operator_weights(g.senders, g.receivers, g.edge_weight,
                              g.num_nodes_padded, semantics)
@@ -100,14 +104,17 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
                        use_segmm=use_segmm, use_diag=use_diag,
                        tile_group=tile_group, semantics=semantics,
                        cluster_att=cluster_att,
-                       cluster_att_exact=cluster_att_exact, real_nodes=n)
+                       cluster_att_exact=cluster_att_exact,
+                       cluster_agg=cluster_agg,
+                       cluster_agg_exact=cluster_agg_exact, real_nodes=n)
     return g._replace(aux=hyb), order
 
 
 def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                     use_segmm: bool = True, tile_group: int = 1,
                     layer_name: str = "GCNConv", cluster_att: int = 0,
-                    cluster_att_exact: int = 0, seed: int = 0):
+                    cluster_att_exact: int = 0, cluster_agg: int = 0,
+                    cluster_agg_exact: int = 0, seed: int = 0):
     """Leiden-reorder a ``CoarseData``'s graph and attach the hybrid
     operator — the Gc phase at products scale (~165k metanodes,
     reference ``main.py:247-267``) is a full-graph training problem and
@@ -143,7 +150,7 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
     # whole-cluster multiple): extend node arrays with inert padding (zero
     # features, False masks; existing padding edges keep their weight-0
     # self-loops on the old pad node)
-    extra = (-n_pad) % (cluster_att or 128)
+    extra = (-n_pad) % (cluster_att or cluster_agg or 128)
     n_pad += extra
 
     def pnode(a):
@@ -164,6 +171,8 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
                        tile_group=tile_group, semantics=semantics,
                        cluster_att=cluster_att,
                        cluster_att_exact=cluster_att_exact,
+                       cluster_agg=cluster_agg,
+                       cluster_agg_exact=cluster_agg_exact,
                        real_nodes=n_real)
     g2 = g._replace(x=pnode(g.x), senders=jnp.asarray(s2, dtype=jnp.int32),
                     receivers=jnp.asarray(r2, dtype=jnp.int32),

@@ -69,19 +69,25 @@ class HybridSpmm:
                                        # fused through init operands;
                                        # 0: XLA batched einsum (the round-2
                                        # variant, kept for A/B)
-    # --- cluster-factorized attention (att_unit only, opt-in) -------------
+    # --- cluster-factorized straggler collapse (opt-in) -------------------
     # Straggler edges collapse onto their sender's CLUSTER-SUMMARY row: the
     # per-edge straggler path disappears and the remote context rides a
-    # dense (N, C) masked-count attention block (pure MXU) over per-cluster
-    # mean summaries — the single-chip analog of the hierarchical path's
-    # cluster-summary attention (parallel/hierarchical.HierGATConv) and of
-    # the reference's cluster_node approximation (utils.py:191-232).
-    # Duplicate edges from one cluster keep their multiplicity (the count
-    # IS the weight), so this is exactly "every straggler edge attends to
-    # its sender's cluster summary".
+    # dense (N, C) MXU block over per-cluster mean summaries — the
+    # single-chip analog of the hierarchical path's summary exchange
+    # (parallel/hierarchical.py) and of the reference's cluster_node
+    # approximation (utils.py:191-232).  Two flavors share these fields:
+    #   att_unit semantics (``cluster_att``): the table holds straggler
+    #     EDGE COUNTS — duplicate edges from one cluster share the
+    #     summary's attention score with multiplicity;
+    #   static semantics (``cluster_agg``, GCN/SAGE/GIN): the table holds
+    #     the SUMMED EDGE WEIGHTS — each straggler edge (u→v, w)
+    #     contributes w·mean(x over u's cluster) instead of w·x[u], so the
+    #     whole straggler aggregation is (N, C) @ (C, F) on the MXU.
     cluster_count: Optional[jnp.ndarray] = None  # (N, C) straggler edge
-                                       # counts per (receiver, sender
-                                       # cluster); bf16 (exact ≤256) or f32
+                                       # counts (att) or summed weights
+                                       # (static) per (receiver, sender
+                                       # cluster); bf16 (exact ≤256 counts)
+                                       # or f32
     cluster_scale: Optional[jnp.ndarray] = None  # (C,) 1/|real members|
     cluster_member: Optional[jnp.ndarray] = None  # (N,) 1.0 on real rows
     cluster_size: int = flax.struct.field(pytree_node=False, default=0)
@@ -108,6 +114,8 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                  semantics: str = "gcn_norm",
                  cluster_att: int = 0,
                  cluster_att_exact: int = 0,
+                 cluster_agg: int = 0,
+                 cluster_agg_exact: int = 0,
                  real_nodes: int | None = None,
                  build_dyn: bool = True) -> HybridSpmm:
     """Split edges by tile occupancy and build both structures (host-side).
@@ -122,6 +130,13 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
     as a per-run dichotomy (``utils.py:235-239`` vs ``:191-232``); this
     offers both per edge, trading accuracy back for step time where the
     remote signal concentrates in few senders.
+    ``cluster_agg`` (static semantics — GCN/SAGE/GIN): the same collapse
+    for static-weight aggregations: each straggler edge (u→v, w)
+    contributes w·mean(x over u's cluster) instead of w·x[u]; the (N, C)
+    table holds summed weights and the whole straggler path becomes one
+    MXU matmul (APPROXIMATE — the reference's cluster_node idea applied
+    per edge).  ``cluster_agg_exact``: top-k straggler senders by
+    straggler WEIGHT MASS keep the exact per-edge path.
     ``real_nodes``: count of non-padding node rows (summary means exclude
     padding); defaults to ``num_nodes_padded``."""
     assert num_nodes_padded % block == 0
@@ -169,20 +184,35 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
 
     cluster_count = cluster_scale = cluster_member = None
     cluster_size = 0
-    if cluster_att:
-        if semantics != "att_unit":
+    if cluster_att and cluster_agg:
+        raise ValueError("cluster_att and cluster_agg are mutually "
+                         "exclusive (attention vs static semantics)")
+    if cluster_att or cluster_agg:
+        if cluster_att and semantics != "att_unit":
             raise ValueError("cluster_att is an attention factorization "
                              "(semantics='att_unit' only)")
-        if num_nodes_padded % cluster_att:
-            raise ValueError(f"cluster_att={cluster_att} must divide the "
+        if cluster_agg and semantics == "att_unit":
+            raise ValueError("cluster_agg is for static-weight semantics; "
+                             "use cluster_att for att_unit")
+        K = cluster_att or cluster_agg
+        exact_k = cluster_att_exact if cluster_att else cluster_agg_exact
+        if num_nodes_padded % K:
+            raise ValueError(f"cluster size {K} must divide the "
                              f"padded node count {num_nodes_padded}")
-        K = cluster_att
         C = num_nodes_padded // K
         real = (cw > 0)                    # padding edges never count
         keep_exact = np.zeros(len(cs), dtype=bool)
-        if cluster_att_exact:
-            deg = np.bincount(cs[real], minlength=num_nodes_padded)
-            k = min(int(cluster_att_exact), int((deg > 0).sum()))
+        if exact_k:
+            # rank senders by the straggler mass their edges carry: edge
+            # count under attention (scores are dynamic), summed static
+            # weight otherwise
+            if cluster_att:
+                deg = np.bincount(cs[real], minlength=num_nodes_padded
+                                  ).astype(np.float64)
+            else:
+                deg = np.bincount(cs[real], weights=cw[real].astype(
+                    np.float64), minlength=num_nodes_padded)
+            k = min(int(exact_k), int((deg > 0).sum()))
             if k:
                 top = np.argpartition(deg, -k)[-k:]
                 is_top = np.zeros(num_nodes_padded, dtype=bool)
@@ -190,11 +220,14 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
                 keep_exact = is_top[cs] & real
         collapse = real & ~keep_exact
         cc = np.zeros((num_nodes_padded, C), dtype=np.float32)
-        np.add.at(cc, (cr[collapse], cs[collapse] // K), 1.0)
+        np.add.at(cc, (cr[collapse], cs[collapse] // K),
+                  1.0 if cluster_att else cw[collapse])
         # bf16 keeps the (N, C) table half-size and is exact for integer
         # counts ≤ 256 (ties to the remote-compile payload limit: pass the
-        # table as a runtime input, never a baked constant)
-        cdtype = jnp.bfloat16 if cc.max() <= 256 else jnp.float32
+        # table as a runtime input, never a baked constant); static-weight
+        # tables hold fractional sums and stay f32
+        cdtype = (jnp.bfloat16 if cluster_att and cc.max() <= 256
+                  else jnp.float32)
         nr = num_nodes_padded if real_nodes is None else int(real_nodes)
         member = (np.arange(num_nodes_padded) < nr).astype(np.float32)
         counts = member.reshape(C, K).sum(axis=1)
@@ -346,7 +379,29 @@ def _fused_core_diag_bwd(h, g):
 _fused_core_diag.defvjp(_fused_core_diag_fwd, _fused_core_diag_bwd)
 
 
+def _cluster_static_term(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    """Collapsed-straggler aggregation for static semantics: summaries are
+    member-means over contiguous K-node groups (reshape-mean — no scatter),
+    then one (N, C) @ (C, F) MXU matmul applies the summed edge weights.
+    Autodiff is clean: the backward is a broadcast + the transposed matmul
+    (no scatter on either side)."""
+    K = h.cluster_size
+    F = x.shape[-1]
+    C = h.cluster_count.shape[1]
+    member = h.cluster_member.astype(x.dtype)
+    sums = (x * member[:, None]).reshape(C, K, F).sum(axis=1)
+    summaries = sums * h.cluster_scale[:, None].astype(x.dtype)
+    return h.cluster_count.astype(x.dtype) @ summaries
+
+
 def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
+    out = _hybrid_spmm_main(h, x)
+    if h.cluster_size and h.semantics != "att_unit":
+        out = out + _cluster_static_term(h, x).astype(out.dtype)
+    return out
+
+
+def _hybrid_spmm_main(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
     if (h.diag_blocks is not None and h.diag_r > 0
             and (h.bsr is None or h.bsr.transpose is not None)
             and not (h.bsr is not None and (h.bsr.rowwalk or h.bsr.einsum

@@ -43,6 +43,12 @@ def main():
                          "same-class communities (edge homophily ~0.8, "
                          "the ogbn regime)")
     ap.add_argument("--homophily", type=float, default=0.8)
+    ap.add_argument("--layer", default="GATConv",
+                    choices=("GATConv", "GCNConv", "SAGEConv", "GINConv"),
+                    help="GATConv measures --cluster_attention; the "
+                         "static layers measure --cluster_aggregation "
+                         "(same collapse, summed weights instead of "
+                         "attention counts)")
     args = ap.parse_args()
 
     import jax
@@ -158,7 +164,8 @@ def main():
         for seed in range(args.runs):
             g = build()
             model = NodeModel(hidden=args.hidden, num_layers=2,
-                              out_dim=args.classes, layer_name="GATConv")
+                              out_dim=args.classes,
+                              layer_name=args.layer)
             st = steps.create_state(model, jax.random.PRNGKey(seed), g.x, g)
             key = jax.random.PRNGKey(100 + seed)
             for ep in range(args.epochs):
@@ -181,11 +188,15 @@ def main():
         # the summary block
         thresh = args.thresh if thresh is None else thresh
         def b():
+            gat = args.layer == "GATConv"
             g, _ = build_optimized_graph(
                 x, s, r, y=y, train_mask=train, val_mask=val,
-                test_mask=test, layer_name="GATConv",
-                min_block_edges=thresh, cluster_att=K,
-                cluster_att_exact=exact_k,
+                test_mask=test, layer_name=args.layer,
+                min_block_edges=thresh,
+                cluster_att=K if gat else 0,
+                cluster_att_exact=exact_k if gat else 0,
+                cluster_agg=0 if gat else K,
+                cluster_agg_exact=0 if gat else exact_k,
                 use_segmm=False, seed=0)
             # CPU A/B: route the dense tiles through the XLA einsum branch
             # (semantics identical — tests/test_tile_gat.py gates both);
@@ -193,10 +204,14 @@ def main():
             # is 100x slower per step
             g = g._replace(aux=g.aux.replace(dyn_plan=None))
             n_exact = int((np.asarray(g.aux.weights) > 0).sum())
-            if K:
+            if K and args.layer == "GATConv":
                 # float64 cast: the table is bf16 and np.sum would round
                 n_coll = int(np.asarray(g.aux.cluster_count,
                                         dtype=np.float64).sum())
+            elif K:
+                # static table holds weight sums, not counts: report nnz
+                n_coll = int((np.asarray(g.aux.cluster_count,
+                                         dtype=np.float64) > 0).sum())
             else:
                 n_coll = 0
             b.info = (f"{0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks} "
@@ -208,9 +223,11 @@ def main():
         return b
 
     t0 = time.time()
+    mode_name = ("cluster_att" if args.layer == "GATConv"
+                 else "cluster_agg")
     rows = [("plain per-edge (exact)", run(plain), "")]
     for name, K in ([("hybrid tiles (exact)", 0)]
-                    + [(f"cluster_att K={k}", k)
+                    + [(f"{mode_name} K={k}", k)
                        for k in args.cluster_sizes]):
         b = hybrid(K)
         rows.append((name, run(b), b.info))
@@ -218,7 +235,7 @@ def main():
         b = hybrid(args.cluster_sizes[0], exact_k=ek)
         rows.append((f"hybrid split K={args.cluster_sizes[0]} "
                      f"exact_k={ek}", run(b), b.info))
-    print(f"\n=== GAT cluster-attention accuracy (n={args.nodes}, "
+    print(f"\n=== {args.layer} {mode_name} accuracy (n={args.nodes}, "
           f"{args.runs} runs x {args.epochs} epochs, {time.time()-t0:.0f}s)"
           f" ===")
     for name, (m, sd), info in rows:

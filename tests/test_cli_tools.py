@@ -116,6 +116,29 @@ class TestCommands:
         content = (tmp_path / "results" / "baseline" / "toy.csv").read_text()
         assert "baseline" in content
 
+    def test_train_baseline_cluster_aggregation(self, tmp_path, toy_root,
+                                                capsys):
+        rc = run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                     "--experiment", "random", "--runs", "1",
+                     "--hidden", "16", "--epochs1", "5", "--baseline",
+                     # the 256-padded toy is 4 tiles — force stragglers so
+                     # the collapse has something to absorb
+                     "--hybrid_threshold", "100000",
+                     "--cluster_aggregation", "128")
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "cluster-aggregation entries" in out
+        content = (tmp_path / "results" / "baseline" / "toy.csv").read_text()
+        assert "baseline" in content
+
+    def test_cluster_aggregation_rejects_gat(self, tmp_path, toy_root):
+        with pytest.raises(SystemExit, match="cluster_attention"):
+            run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                    "--experiment", "random", "--runs", "1",
+                    "--layer_name", "GATConv",
+                    "--hidden", "16", "--epochs1", "2", "--baseline",
+                    "--cluster_aggregation", "128")
+
     def test_infer(self, tmp_path, toy_root):
         rc = run_cli(tmp_path, toy_root, "infer", "--dataset", "toy",
                      "--hidden", "16", "--num_test_samples", "5",
