@@ -46,8 +46,14 @@ BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
 # per-layer tuned tile threshold: after the dB Pallas kernel + den-column
 # changes the GAT curve is a flat ~46.5±1 ms plateau over t8-t48 with the
 # best point at 32 (t8 46.7 / t16 47.2 / t32 46.1 / t48 46.5);
-# GCN/SAGE/GIN break even at 48
-_DEFAULT_THRESHOLD = "32" if BENCH_LAYER == "GATConv" else "48"
+# GCN/SAGE/GIN break even at 48.  Under EITHER cluster collapse the
+# threshold retunes upward to 192 (collapsed stragglers are nearly free,
+# so marginal tiles stop paying for their grid steps): GAT t32→t192
+# (round 3), GCN 10.4→9.7 ms t48→t192 with t384 flat (round 4).
+_CLUSTER_MODE = (int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
+                 or int(os.environ.get("FITGNN_BENCH_CLUSTER_SUM", "0")))
+_DEFAULT_THRESHOLD = ("192" if _CLUSTER_MODE
+                      else "32" if BENCH_LAYER == "GATConv" else "48")
 BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD",
                                           _DEFAULT_THRESHOLD))
 BENCH_DROPOUT = float(os.environ.get("FITGNN_BENCH_DROPOUT", "0.5"))
