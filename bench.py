@@ -43,6 +43,19 @@ REF_EDGES_PER_SEC = 5.0e7
 # selector-matmul straggler scatter.  Env knobs ablate each.
 BENCH_DTYPE = os.environ.get("FITGNN_BENCH_DTYPE", "bfloat16")
 BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
+# GAT cluster-factorized attention (APPROXIMATE — a different model, the
+# reference's cluster_node idea): straggler edges attend to their sender's
+# cluster-summary row via a dense (N, C) MXU block. Value = nodes per
+# cluster (multiple of 128), 0 = off. GATConv only.
+BENCH_CLUSTER_ATT = int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
+# static-semantics analog (GCN/SAGE/GIN, APPROXIMATE): straggler edges
+# aggregate their sender's cluster-mean row via one (N, C) @ (C, F) MXU
+# matmul — the per-edge straggler path disappears. Value = nodes per
+# cluster (multiple of 128), 0 = off.
+BENCH_CLUSTER_SUM = int(os.environ.get("FITGNN_BENCH_CLUSTER_SUM", "0"))
+# hybrid split: top-k straggler senders stay on the exact per-edge path,
+# the tail collapses onto summaries (accuracy/latency frontier knob)
+BENCH_CLUSTER_EXACT = int(os.environ.get("FITGNN_BENCH_CLUSTER_EXACT", "0"))
 # per-layer tuned tile threshold: after the dB Pallas kernel + den-column
 # changes the GAT curve is a flat ~46.5±1 ms plateau over t8-t48 with the
 # best point at 32 (t8 46.7 / t16 47.2 / t32 46.1 / t48 46.5);
@@ -50,9 +63,7 @@ BENCH_LAYER = os.environ.get("FITGNN_BENCH_LAYER", "GCNConv")
 # threshold retunes upward to 192 (collapsed stragglers are nearly free,
 # so marginal tiles stop paying for their grid steps): GAT t32→t192
 # (round 3), GCN 10.4→9.7 ms t48→t192 with t384 flat (round 4).
-_CLUSTER_MODE = (int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
-                 or int(os.environ.get("FITGNN_BENCH_CLUSTER_SUM", "0")))
-_DEFAULT_THRESHOLD = ("192" if _CLUSTER_MODE
+_DEFAULT_THRESHOLD = ("192" if (BENCH_CLUSTER_ATT or BENCH_CLUSTER_SUM)
                       else "32" if BENCH_LAYER == "GATConv" else "48")
 BENCH_TILE_THRESHOLD = int(os.environ.get("FITGNN_BENCH_THRESHOLD",
                                           _DEFAULT_THRESHOLD))
@@ -98,20 +109,6 @@ BENCH_BLOCK = int(os.environ.get("FITGNN_BENCH_BLOCK", "128"))
 #   no_coo  — drop the straggler COO edges from the hybrid operator
 #   no_spmm — drop the whole aggregation (dense path floor)
 BENCH_ABLATE = os.environ.get("FITGNN_BENCH_ABLATE", "")
-# GAT cluster-factorized attention (APPROXIMATE — a different model, the
-# reference's cluster_node idea): straggler edges attend to their sender's
-# cluster-summary row via a dense (N, C) MXU block. Value = nodes per
-# cluster (multiple of 128), 0 = off. GATConv only.
-BENCH_CLUSTER_ATT = int(os.environ.get("FITGNN_BENCH_CLUSTER_ATT", "0"))
-# static-semantics analog (GCN/SAGE/GIN, APPROXIMATE): straggler edges
-# aggregate their sender's cluster-mean row via one (N, C) @ (C, F) MXU
-# matmul — the per-edge straggler path disappears. Value = nodes per
-# cluster (multiple of 128), 0 = off.
-BENCH_CLUSTER_SUM = int(os.environ.get("FITGNN_BENCH_CLUSTER_SUM", "0"))
-# hybrid split: top-k straggler senders stay on the exact per-edge path,
-# the tail collapses onto summaries (accuracy/latency frontier knob)
-BENCH_CLUSTER_EXACT = int(os.environ.get("FITGNN_BENCH_CLUSTER_EXACT", "0"))
-
 # graph size is overridable for CPU smoke tests of bench code paths only —
 # the headline metric is defined at the default (arxiv-scale) size
 NUM_NODES = int(os.environ.get("FITGNN_BENCH_NODES",

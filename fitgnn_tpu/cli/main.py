@@ -331,6 +331,20 @@ def cmd_train(args) -> int:
     from fitgnn_tpu.train import NodeTaskConfig, run_node_task
     from fitgnn_tpu.utils import results as R
 
+    # the cluster collapses apply to full-graph (Gc phase / baseline)
+    # node-level training only — reject rather than silently ignore
+    cl_att = getattr(args, "cluster_attention", 0)
+    cl_agg = getattr(args, "cluster_aggregation", 0)
+    if getattr(args, "cluster_attention_exact", 0) and not cl_att:
+        raise SystemExit("--cluster_attention_exact requires "
+                         "--cluster_attention")
+    if getattr(args, "cluster_aggregation_exact", 0) and not cl_agg:
+        raise SystemExit("--cluster_aggregation_exact requires "
+                         "--cluster_aggregation")
+    if (cl_att or cl_agg) and args.task in ("graph_cls", "graph_reg"):
+        raise SystemExit("--cluster_attention/--cluster_aggregation apply "
+                         "to node-level full-graph training, not "
+                         "graph-level tasks")
     if args.task in ("graph_cls", "graph_reg"):
         return _cmd_train_graph(args)
     if args.baseline:
@@ -343,6 +357,12 @@ def cmd_train(args) -> int:
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)
+    if (cl_att or cl_agg) and (part.coarse is None
+                               or args.exp_setup == "Gs_train_2_Gs_infer"):
+        raise SystemExit("--cluster_attention/--cluster_aggregation apply "
+                         "to the Gc full-graph phase; this experiment "
+                         "setup has none (use --baseline for full-graph "
+                         "training)")
     if part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer":
         from fitgnn_tpu.graph.optimize import optimize_coarse, should_use_hybrid
         gc_cluster_att = getattr(args, "cluster_attention", 0)

@@ -384,13 +384,27 @@ def _cluster_static_term(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
     member-means over contiguous K-node groups (reshape-mean — no scatter),
     then one (N, C) @ (C, F) MXU matmul applies the summed edge weights.
     Autodiff is clean: the backward is a broadcast + the transposed matmul
-    (no scatter on either side)."""
+    (no scatter on either side).
+
+    Precision discipline: the K-member reduction must NOT accumulate at
+    bf16 (a 2048-element bf16 chain sum loses ~3 decimal digits), but an
+    explicit f32 reduction materializes f32 (N, F) streams and measured
+    +1.3-1.4 ms/step — so the sum rides a ones-vector dot_general with
+    ``preferred_element_type=f32``: the MXU reads bf16 rows and
+    accumulates in its internal f32 accumulator, giving f32-accurate
+    sums at bf16 byte traffic.  The weight table is BUILT f32
+    (fractional sums) and cast to the compute dtype here — the same
+    policy as the BCSR tiles, which store these identical static weights
+    in bf16 under the production config (build_hybrid tile_dtype)."""
     K = h.cluster_size
     F = x.shape[-1]
     C = h.cluster_count.shape[1]
-    member = h.cluster_member.astype(x.dtype)
-    sums = (x * member[:, None]).reshape(C, K, F).sum(axis=1)
-    summaries = sums * h.cluster_scale[:, None].astype(x.dtype)
+    member = h.cluster_member.astype(x.dtype)   # 0/1 — exact at any dtype
+    xb = (x * member[:, None]).reshape(C, K, F)
+    ones = jnp.ones((K,), x.dtype)
+    sums = jax.lax.dot_general(xb, ones, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    summaries = (sums * h.cluster_scale[:, None]).astype(x.dtype)
     return h.cluster_count.astype(x.dtype) @ summaries
 
 

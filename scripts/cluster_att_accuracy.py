@@ -209,14 +209,18 @@ def main():
                 n_coll = int(np.asarray(g.aux.cluster_count,
                                         dtype=np.float64).sum())
             elif K:
-                # static table holds weight sums, not counts: report nnz
+                # static table holds weight sums, not counts: the honest
+                # unit is nnz (receiver, cluster) table cells
                 n_coll = int((np.asarray(g.aux.cluster_count,
                                          dtype=np.float64) > 0).sum())
             else:
                 n_coll = 0
+            coll_unit = ("collapsed straggler edges"
+                         if args.layer == "GATConv"
+                         else "collapsed (receiver,cluster) cells")
             b.info = (f"{0 if g.aux.bsr is None else g.aux.bsr.nnz_blocks} "
-                      f"tiles, {n_exact} exact + {n_coll} collapsed "
-                      f"straggler edges"
+                      f"tiles, {n_exact} exact straggler edges + "
+                      f"{n_coll} {coll_unit}"
                       + (f" -> (N,{g.aux.num_nodes // K}) summary block"
                          if K else ""))
             return g

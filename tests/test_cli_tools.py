@@ -131,6 +131,24 @@ class TestCommands:
         content = (tmp_path / "results" / "baseline" / "toy.csv").read_text()
         assert "baseline" in content
 
+    def test_cluster_exact_requires_mode(self, tmp_path, toy_root):
+        with pytest.raises(SystemExit, match="requires"):
+            run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                    "--experiment", "random", "--runs", "1", "--baseline",
+                    "--hidden", "16", "--epochs1", "2",
+                    "--cluster_aggregation_exact", "16")
+
+    def test_cluster_agg_rejected_without_gc_phase(self, tmp_path,
+                                                   toy_root):
+        # Gs_train_2_Gs_infer has no full-graph Gc phase — the flag must
+        # error, not silently train exact per-edge
+        with pytest.raises(SystemExit, match="no.*coarse|phase"):
+            run_cli(tmp_path, toy_root, "train", "--dataset", "toy",
+                    "--experiment", "random", "--runs", "1",
+                    "--hidden", "16", "--epochs1", "2", "--epochs2", "2",
+                    "--exp_setup", "Gs_train_2_Gs_infer", "--train_fitgnn",
+                    "--cluster_aggregation", "128")
+
     def test_cluster_aggregation_rejects_gat(self, tmp_path, toy_root):
         with pytest.raises(SystemExit, match="cluster_attention"):
             run_cli(tmp_path, toy_root, "train", "--dataset", "toy",

@@ -120,17 +120,35 @@ class TestClusterAgg:
         np.testing.assert_allclose(gh, gr, rtol=2e-5, atol=2e-5)
 
     def test_table_holds_weights_not_counts(self):
-        # duplicate edges with distinct weights must sum their weights
+        # duplicate edges with distinct weights must sum their weights;
+        # 0.1/0.3 are bf16-INEXACT, so a regression of the static-table
+        # f32 dtype rule would shift the sum and fail the exact compare
         n_pad, K = 256, 128
         s = np.array([0, 0, 3], dtype=np.int64)
         r = np.array([200, 200, 200], dtype=np.int64)
-        w = np.array([0.25, 0.5, 1.25], dtype=np.float32)
+        w = np.array([0.1, 0.3, 1.25], dtype=np.float32)
         h = build_hybrid(s, r, w, n_pad, min_block_edges=100,
                          cluster_agg=K, real_nodes=n_pad)
-        cc = np.asarray(h.cluster_count, dtype=np.float32)
-        assert cc.dtype == np.float32  # fractional sums never ride bf16
-        np.testing.assert_allclose(cc[200, 0], 2.0)  # 0.25+0.5+1.25
+        assert h.cluster_count.dtype == jnp.float32  # never bf16 (sums)
+        cc = np.asarray(h.cluster_count)
+        np.testing.assert_array_equal(
+            cc[200, 0], np.float32(0.1) + np.float32(0.3) + np.float32(1.25))
         assert h.num_coo_edges == 1 and float(h.weights[0]) == 0.0
+
+    def test_bf16_summary_accumulates_f32(self):
+        # 2048 members of 1e-3 each: a bf16 chain sum stops absorbing
+        # terms once the partial passes ~0.25 (8 mantissa bits), losing
+        # most of the sum; the MXU/dot_general f32 accumulation keeps it.
+        n_pad = K = 2048
+        s = np.array([5], dtype=np.int64)
+        r = np.array([1900], dtype=np.int64)
+        w = np.array([1.0], dtype=np.float32)
+        h = build_hybrid(s, r, w, n_pad, min_block_edges=10**6,
+                         cluster_agg=K, real_nodes=n_pad)
+        x = jnp.full((n_pad, 8), 1e-3, dtype=jnp.bfloat16)
+        out = np.asarray(hybrid_spmm(h, x), dtype=np.float32)
+        # exact mean = 1e-3 (w=1); allow bf16 I/O rounding only (~0.4 %)
+        np.testing.assert_allclose(out[1900], 1e-3, rtol=0.01)
 
     def test_semantics_guards(self):
         s, r, w, _ = _random_case(4, n_pad=256)
