@@ -196,7 +196,8 @@ def main():
                        use_einsum_tiles=BENCH_EINSUM_TILES,
                        semantics=semantics,
                        cluster_att=BENCH_CLUSTER_ATT,
-                       cluster_att_exact=BENCH_CLUSTER_EXACT,
+                       cluster_att_exact=(BENCH_CLUSTER_EXACT
+                                          if BENCH_CLUSTER_ATT else 0),
                        cluster_agg=BENCH_CLUSTER_SUM,
                        cluster_agg_exact=(BENCH_CLUSTER_EXACT
                                           if BENCH_CLUSTER_SUM else 0),

@@ -345,6 +345,19 @@ def cmd_train(args) -> int:
         raise SystemExit("--cluster_attention/--cluster_aggregation apply "
                          "to node-level full-graph training, not "
                          "graph-level tasks")
+    # args-only cluster-flag rejections run BEFORE the (expensive)
+    # partition step; only the part.coarse check needs the partition
+    if cl_att and args.layer_name != "GATConv":
+        raise SystemExit("--cluster_attention is an attention "
+                         "factorization (GATConv only)")
+    if cl_agg and args.layer_name == "GATConv":
+        raise SystemExit("--cluster_aggregation is for static-weight "
+                         "layers; use --cluster_attention for GATConv")
+    if (cl_att or cl_agg) and args.exp_setup == "Gs_train_2_Gs_infer":
+        raise SystemExit("--cluster_attention/--cluster_aggregation apply "
+                         "to the Gc full-graph phase; this experiment "
+                         "setup has none (use --baseline for full-graph "
+                         "training)")
     if args.task in ("graph_cls", "graph_reg"):
         return _cmd_train_graph(args)
     if args.baseline:
@@ -357,22 +370,14 @@ def cmd_train(args) -> int:
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)
-    if (cl_att or cl_agg) and (part.coarse is None
-                               or args.exp_setup == "Gs_train_2_Gs_infer"):
+    if (cl_att or cl_agg) and part.coarse is None:
         raise SystemExit("--cluster_attention/--cluster_aggregation apply "
                          "to the Gc full-graph phase; this experiment "
                          "setup has none (use --baseline for full-graph "
                          "training)")
     if part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer":
         from fitgnn_tpu.graph.optimize import optimize_coarse, should_use_hybrid
-        gc_cluster_att = getattr(args, "cluster_attention", 0)
-        gc_cluster_agg = getattr(args, "cluster_aggregation", 0)
-        if gc_cluster_att and args.layer_name != "GATConv":
-            raise SystemExit("--cluster_attention is an attention "
-                             "factorization (GATConv only)")
-        if gc_cluster_agg and args.layer_name == "GATConv":
-            raise SystemExit("--cluster_aggregation is for static-weight "
-                             "layers; use --cluster_attention for GATConv")
+        gc_cluster_att, gc_cluster_agg = cl_att, cl_agg
         if (gc_cluster_att or gc_cluster_agg
                 or should_use_hybrid(int(part.coarse.graph.n_node),
                                      args.layer_name,

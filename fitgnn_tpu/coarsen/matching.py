@@ -4,9 +4,10 @@
   until the target reduction is met (reference ``coarsening_utils.py:931-989``
   semantics, vectorized sort + boolean marking).
 * ``matching_optimal`` — maximum-weight perfect-ish matching on the negated
-  cost; uses networkx's blossom implementation (the reference vendors a
-  945-line pure-Python port, ``maxWeightMatching.py``); a first-party C++
-  blossom is the planned replacement for large graphs.
+  cost (the reference vendors a 945-line pure-Python port,
+  ``maxWeightMatching.py``); prefers the first-party C++ blossom core
+  (``native/blossom.cpp``), falling back to networkx's implementation when
+  the shared library is unavailable.
 """
 
 from __future__ import annotations

@@ -226,8 +226,13 @@ def build_hybrid(senders: np.ndarray, receivers: np.ndarray,
         # counts ≤ 256 (ties to the remote-compile payload limit: pass the
         # table as a runtime input, never a baked constant); static-weight
         # tables hold fractional sums and stay f32
-        cdtype = (jnp.bfloat16 if cluster_att and cc.max() <= 256
-                  else jnp.float32)
+        if cluster_att:
+            cdtype = jnp.bfloat16 if cc.max() <= 256 else jnp.float32
+        else:
+            # static-weight tables hold the SAME fractional weight sums the
+            # BCSR tiles store, so they follow the same storage policy:
+            # f32 by default, bf16 only when tile_dtype opts the tiles in
+            cdtype = tile_dtype if tile_dtype is not None else jnp.float32
         nr = num_nodes_padded if real_nodes is None else int(real_nodes)
         member = (np.arange(num_nodes_padded) < nr).astype(np.float32)
         counts = member.reshape(C, K).sum(axis=1)
@@ -392,10 +397,10 @@ def _cluster_static_term(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
     +1.3-1.4 ms/step — so the sum rides a ones-vector dot_general with
     ``preferred_element_type=f32``: the MXU reads bf16 rows and
     accumulates in its internal f32 accumulator, giving f32-accurate
-    sums at bf16 byte traffic.  The weight table is BUILT f32
-    (fractional sums) and cast to the compute dtype here — the same
-    policy as the BCSR tiles, which store these identical static weights
-    in bf16 under the production config (build_hybrid tile_dtype)."""
+    sums at bf16 byte traffic.  The weight table's storage dtype is fixed
+    at BUILD time by the same ``tile_dtype`` knob that governs the BCSR
+    tiles (f32 default, bf16 opt-in) — never by the activation dtype — and
+    the final matmul accumulates f32 via ``preferred_element_type``."""
     K = h.cluster_size
     F = x.shape[-1]
     C = h.cluster_count.shape[1]
@@ -404,8 +409,11 @@ def _cluster_static_term(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
     ones = jnp.ones((K,), x.dtype)
     sums = jax.lax.dot_general(xb, ones, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    summaries = (sums * h.cluster_scale[:, None]).astype(x.dtype)
-    return h.cluster_count.astype(x.dtype) @ summaries
+    table = h.cluster_count
+    summaries = (sums * h.cluster_scale[:, None]).astype(table.dtype)
+    out = jax.lax.dot_general(table, summaries, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def hybrid_spmm(h: HybridSpmm, x: jnp.ndarray) -> jnp.ndarray:
