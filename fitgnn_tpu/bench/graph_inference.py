@@ -26,10 +26,26 @@ def graph_inference_benchmark(model: GraphModel, params,
     fwd_gs = jax.jit(lambda p, b: model.apply(
         p, b.gs, b.gs_graph_ids, 1, method=GraphModel.forward_subgraphs))
 
-    # bucket by shape signature so each padded shape compiles once
+    # bucket by shape signature so each padded shape compiles once; device
+    # time (dispatch amortized) measured once per shape, averaged by count
+    from fitgnn_tpu.bench.inference import device_seconds_per_call
+    dev_times, shape_counts = {}, {}
+    fwd = fwd_gc if view == "gc" else fwd_gs
     for i, smp in enumerate(samples):
         b = collate_graph_level([smp])
-        fwd = fwd_gc if view == "gc" else fwd_gs
+        sig = tuple(a.shape for a in jax.tree_util.tree_leaves(b))
+        if sig not in dev_times:
+            if view == "gc":
+                fwd_c = lambda c: model.apply(  # noqa: E731
+                    params, b.gc.x + c, b.gc, b.gc_graph_ids, 1)
+            else:
+                fwd_c = lambda c: model.apply(  # noqa: E731
+                    params,
+                    b.gs._replace(x=b.gs.x + c), b.gs_graph_ids, 1,
+                    method=GraphModel.forward_subgraphs)
+            dev_times[sig] = device_seconds_per_call(
+                fwd_c, np.asarray(b.gc.x).dtype)
+        shape_counts[sig] = shape_counts.get(sig, 0) + 1
         t0 = time.perf_counter()
         out = fwd(params, b)
         out.block_until_ready()
@@ -41,9 +57,12 @@ def graph_inference_benchmark(model: GraphModel, params,
         else:
             losses.append(abs(float(row[0]) - float(y[i])))
     n = max(len(samples), 1)
+    dev_avg = (sum(dev_times[s] * c for s, c in shape_counts.items())
+               / max(sum(shape_counts.values()), 1))
     return InferenceReport(
         num_test_samples=len(samples),
         avg_inf_time=float(np.mean(times[1:]) if len(times) > 1
                            else np.mean(times)),
         avg_loss=float(np.mean(losses)),
-        acc=correct / n if classify else 0.0)
+        acc=correct / n if classify else 0.0,
+        avg_inf_time_device=float(dev_avg))

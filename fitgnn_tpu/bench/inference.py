@@ -22,9 +22,68 @@ from fitgnn_tpu.graph.container import Graph, SubgraphBatch
 @dataclasses.dataclass
 class InferenceReport:
     num_test_samples: int
-    avg_inf_time: float        # seconds per sample forward
+    avg_inf_time: float        # seconds per sample forward (wall-clock,
+                               # includes the host→device dispatch constant)
     avg_loss: float
     acc: float
+    avg_inf_time_device: float = 0.0   # device seconds per forward
+                                       # (dispatch amortized out — see
+                                       # _device_seconds_per_forward)
+
+
+# scan lengths for the two-point device-time measurement; the difference
+# quotient cancels the per-dispatch constant exactly
+_DEV_ITERS = (8, 64)
+
+
+def device_seconds_per_call(fwd_c, dtype, iters=_DEV_ITERS,
+                            repeats: int = 3) -> float:
+    """Generic two-point scan timing: ``fwd_c(c)`` maps a scalar carry
+    perturbation to the forward's output array (see
+    ``_device_seconds_per_forward`` for the method)."""
+    import jax.numpy as jnp
+
+    def run_k(k):
+        def body(c, _):
+            out = fwd_c(c)
+            return c + out.sum().astype(dtype) * 1e-38, ()
+
+        def run(c0):
+            c, _ = jax.lax.scan(body, c0, None, length=k)
+            return c
+
+        rj = jax.jit(run)
+        c0 = jnp.zeros((), dtype)
+        rj(c0).block_until_ready()            # compile outside timing
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            rj(c0).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = iters
+    t1, t2 = run_k(k1), run_k(k2)
+    return max(t2 - t1, 0.0) / (k2 - k1)
+
+
+def _device_seconds_per_forward(fwd, params, x, g, iters=_DEV_ITERS,
+                                repeats: int = 3) -> float:
+    """Device time of one jitted forward, dispatch constant removed.
+
+    Wall-clock around ``block_until_ready`` carries a fixed multi-ms
+    dispatch/RPC cost on remote-attached TPUs (the tunnel), which swamps a
+    sub-ms subgraph forward — the round-4 1.53× headline was dispatch-bound
+    (VERDICT r4 ask #3).  This times TWO jitted ``lax.scan``s of K1 and K2
+    repeated forwards (ONE dispatch each, K on-device iterations) and
+    reports (t(K2) - t(K1)) / (K2 - K1): the per-iteration device time,
+    with the dispatch constant cancelled by the difference quotient.
+
+    The scan body feeds an O(1e-38) carry perturbation into the input so
+    XLA cannot hoist the loop-invariant forward out of the scan.
+    """
+    return device_seconds_per_call(lambda c: fwd(params, x + c, g), x.dtype,
+                                   iters=iters, repeats=repeats)
 
 
 def _sample_nodes(mask: np.ndarray, num_samples: int, seed: int) -> np.ndarray:
@@ -66,10 +125,18 @@ def node_inference_benchmark(
              np.arange(buckets[0].num_subgraphs, dtype=np.int64)], axis=1)
 
     fwd = jax.jit(lambda p, x, g: model.apply(p, x, g))
-    # warm-up compile per sampled bucket shape (not in the timed loop)
-    for b in np.unique(subgraph_index[sub_of_node, 0]):
+    # warm-up compile per sampled bucket shape (not in the timed loop),
+    # plus the amortized device-time measurement per bucket shape
+    sampled_buckets = np.unique(subgraph_index[sub_of_node, 0])
+    bucket_count = {int(b): int((subgraph_index[sub_of_node, 0] == b).sum())
+                    for b in sampled_buckets}
+    dev_times = {}
+    for b in sampled_buckets:
         g0 = buckets[int(b)].subgraph(0)
         fwd(params, g0.x, g0).block_until_ready()
+        dev_times[int(b)] = _device_seconds_per_forward(fwd, params, g0.x, g0)
+    dev_avg = (sum(dev_times[b] * c for b, c in bucket_count.items())
+               / max(sum(bucket_count.values()), 1))
 
     origs = [np.asarray(b.orig_idx) for b in buckets]
     times, losses, correct = [], [], 0
@@ -95,7 +162,8 @@ def node_inference_benchmark(
         avg_inf_time=float(np.mean(times[1:]) if len(times) > 1
                            else np.mean(times)),
         avg_loss=float(np.mean(losses)) if losses else 0.0,
-        acc=correct / n if classify else 0.0)
+        acc=correct / n if classify else 0.0,
+        avg_inf_time_device=float(dev_avg))
 
 
 def baseline_inference_benchmark(
@@ -106,6 +174,7 @@ def baseline_inference_benchmark(
     nodes = _sample_nodes(np.asarray(test_mask, dtype=bool), num_samples, seed)
     fwd = jax.jit(lambda p, x, gg: model.apply(p, x, gg))
     fwd(params, g.x, g).block_until_ready()
+    dev_time = _device_seconds_per_forward(fwd, params, g.x, g)
 
     times, losses, correct = [], [], 0
     for node in nodes:
@@ -125,4 +194,5 @@ def baseline_inference_benchmark(
         avg_inf_time=float(np.mean(times[1:]) if len(times) > 1
                            else np.mean(times)),
         avg_loss=float(np.mean(losses)) if losses else 0.0,
-        acc=correct / n if classify else 0.0)
+        acc=correct / n if classify else 0.0,
+        avg_inf_time_device=float(dev_time))

@@ -880,7 +880,7 @@ def cmd_infer(args, baseline: bool = False) -> int:
         "hidden": args.hidden, "num_layers": args.num_layers1,
         "num_test_samples": rep.num_test_samples,
         "avg_inf_time": rep.avg_inf_time, "avg_loss": rep.avg_loss,
-        "acc": rep.acc})
+        "acc": rep.acc, "avg_inf_time_device": rep.avg_inf_time_device})
     R.append_csv_row(f"inference_results/{args.task}.csv",
                      R.INFERENCE_HEADER, row)
     print(f"inference_results/{args.task}.csv <- {row}")
@@ -930,7 +930,8 @@ def _cmd_infer_graph(args) -> int:
             "hidden": args.hidden, "num_layers": args.num_layers1,
             "num_test_samples": rep.num_test_samples,
             "avg_inf_time": rep.avg_inf_time, "avg_loss": rep.avg_loss,
-            "acc": rep.acc})
+            "acc": rep.acc,
+            "avg_inf_time_device": rep.avg_inf_time_device})
         R.append_csv_row(f"inference_results/{args.task}.csv",
                          R.INFERENCE_HEADER, row)
         print(f"inference_results/{args.task}.csv <- {row}")

@@ -22,10 +22,15 @@ TRAIN_GRAPH_HEADER = (
     "extra_nodes,cluster_node,community_used,hidden,num_layers1,num_layers2,"
     "epochs1,epochs2,batch_size,lr,best_test_loss,best_test_acc")
 
+# the reference's schema (inference.py CSV sink) + one extension column:
+# avg_inf_time is WALL-CLOCK per sample (carries the host→device dispatch
+# constant — multi-ms on remote-attached TPUs); avg_inf_time_device is the
+# per-forward DEVICE time with the dispatch constant amortized out
+# (bench.inference._device_seconds_per_forward)
 INFERENCE_HEADER = (
     "dataset,coarsening_method,coarsening_ratio,exp_setup,layer_name,"
     "extra_nodes,cluster_node,community_used,hidden,num_layers,"
-    "num_test_samples,avg_inf_time,avg_loss,acc")
+    "num_test_samples,avg_inf_time,avg_loss,acc,avg_inf_time_device")
 
 MEMORY_HEADER = ("Dataset,Coarsening_Method,Coarsening_Ratio,Task,Type,"
                  "Max_Memory_Usage_Graphs(MB)")
