@@ -375,7 +375,11 @@ def cmd_train(args) -> int:
                          "to the Gc full-graph phase; this experiment "
                          "setup has none (use --baseline for full-graph "
                          "training)")
-    if part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer":
+    if (part.coarse is not None and args.exp_setup != "Gs_train_2_Gs_infer"
+            and args.num_devices == 1):
+        # single-device Gc: Leiden-reorder + hybrid/collapsed operator.
+        # With num_devices > 1 the hier Gc phase builds its OWN per-shard
+        # interior operators (cluster flags ride cfg.gc_cluster below).
         from fitgnn_tpu.graph.optimize import optimize_coarse, should_use_hybrid
         gc_cluster_att, gc_cluster_agg = cl_att, cl_agg
         if (gc_cluster_att or gc_cluster_agg
@@ -427,6 +431,10 @@ def cmd_train(args) -> int:
             if args.run_intermediate_inference else None),
         num_devices=args.num_devices,
         num_hosts=args.num_hosts,
+        gc_cluster=(cl_att or cl_agg) if args.num_devices > 1 else 0,
+        gc_cluster_exact=(getattr(args, "cluster_attention_exact", 0)
+                          or getattr(args, "cluster_aggregation_exact", 0)
+                          ) if args.num_devices > 1 else 0,
         early_stopping=args.early_stopping,
         fused_epochs=args.fused_epochs,
         bucket_sizes=args.bucket_sizes,

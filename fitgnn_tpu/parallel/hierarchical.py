@@ -106,7 +106,9 @@ def _pad_tail(a, n, fill_last: bool = False):
 
 
 def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150,
-                         semantics: str = "gcn_norm"):
+                         semantics: str = "gcn_norm",
+                         interior_cluster: int = 0,
+                         interior_cluster_exact: int = 0):
     """Build per-shard hybrid operators for the interior edge lists and
     stack them (uniform leaf shapes, leading shard axis) so the structure
     shards over the mesh like every other HierPlan leaf.
@@ -128,10 +130,19 @@ def _stack_shard_hybrids(ints, intr, intw, n_loc, min_block_edges=150,
 
     att = semantics == "att_unit"
     n_pad = -(-n_loc // 128) * 128
+    # intra-shard straggler collapse (VERDICT r4 ask #4): each shard's
+    # straggler edges aggregate/attend onto LOCAL contiguous-K cluster
+    # summaries — the single-chip collapse per shard, composed with the
+    # cross-host summary exchange this plan already performs
+    ck = dict(cluster_att=interior_cluster if att else 0,
+              cluster_att_exact=interior_cluster_exact if att else 0,
+              cluster_agg=0 if att else interior_cluster,
+              cluster_agg_exact=0 if att else interior_cluster_exact,
+              real_nodes=n_loc)
     hybs = [build_hybrid(np.asarray(s, np.int64), np.asarray(r, np.int64),
                          np.asarray(w, np.float32), n_pad,
                          min_block_edges=min_block_edges, use_segmm=not att,
-                         semantics=semantics, build_dyn=False)
+                         semantics=semantics, build_dyn=False, **ck)
             for s, r, w in zip(ints, intr, intw)]
     # uniform pytree structure across shards: a shard with no dense tile
     # gets a filler-only BSR (zero tiles, full row coverage — inert)
@@ -200,7 +211,9 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
                     pad_to: int = 8,
                     interior_hybrid: bool = True,
                     min_block_edges: int = 150,
-                    interior_semantics: str = "gcn_norm") -> HierPlan:
+                    interior_semantics: str = "gcn_norm",
+                    interior_cluster: int = 0,
+                    interior_cluster_exact: int = 0) -> HierPlan:
     """Build the three-way edge split + exchange tables (host-side).
 
     ``senders_global``/``receivers_local``/``edge_weight``: the
@@ -330,9 +343,12 @@ def build_hier_plan(senders_global: np.ndarray, receivers_local: np.ndarray,
     hs_, hr_, hw_ = pad_edges(has_, har_, haw_)
     ss_, sr2, sw_ = pad_edges(sus_, sur_, suw_)
 
-    int_hybrid = (_stack_shard_hybrids(ints, intr, intw, n_loc,
-                                       min_block_edges=min_block_edges,
-                                       semantics=interior_semantics)
+    int_hybrid = (_stack_shard_hybrids(
+                      ints, intr, intw, n_loc,
+                      min_block_edges=min_block_edges,
+                      semantics=interior_semantics,
+                      interior_cluster=interior_cluster,
+                      interior_cluster_exact=interior_cluster_exact)
                   if interior_hybrid else None)
 
     return HierPlan(

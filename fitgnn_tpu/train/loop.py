@@ -104,6 +104,15 @@ class NodeTaskConfig:
                                           # Gc-phase mesh as (hosts × chips)
                                           # — exact halo over the chip axis,
                                           # cluster summaries across hosts
+    gc_cluster: int = 0                   # with num_devices > 1: per-shard
+                                          # interior straggler collapse onto
+                                          # local contiguous-K cluster
+                                          # summaries (the single-chip
+                                          # --cluster_attention/_aggregation
+                                          # dial composed into the hier
+                                          # interior; K = nodes per cluster)
+    gc_cluster_exact: int = 0             # top-k straggler senders that
+                                          # keep the exact per-edge path
     early_stopping: int = 0               # patience in epochs on the val
                                           # loss; 0 = off (the reference
                                           # parses --early_stopping but
@@ -242,10 +251,24 @@ def _make_hier_gc_steps(cfg, coarse):
     pair = ((np.arange(n_pad) // n_loc) * (int(lab_ordered.max()) + 2)
             + lab_ordered)
     _, cluster_of = np.unique(pair, return_inverse=True)
+    K = cfg.gc_cluster
+    n_pad_shard = -(-n_loc // 128) * 128
+    if K and n_pad_shard % K:
+        # snap to the largest 128-multiple divisor ≤ K (the per-shard
+        # padded node count is set by the partition, not the user)
+        nb = n_pad_shard // 128
+        cands = [128 * d for d in range(1, nb + 1)
+                 if nb % d == 0 and 128 * d <= K]
+        newk = max(cands) if cands else 128 if n_pad_shard % 128 == 0 else 0
+        print(f"warning: interior cluster size {K} does not divide the "
+              f"per-shard padded node count {n_pad_shard}; using {newk}")
+        K = newk
     plan = build_hier_plan(np.asarray(sg.senders), np.asarray(sg.receivers),
                            np.asarray(sg.edge_weight), H, D, n_loc,
                            cluster_of, interior_hybrid=True,
-                           interior_semantics=_LAYER_SEMANTICS[ln])
+                           interior_semantics=_LAYER_SEMANTICS[ln],
+                           interior_cluster=K,
+                           interior_cluster_exact=cfg.gc_cluster_exact)
     mesh = make_hier_mesh(H, D)
     hmodel = HierNodeModel(hidden=cfg.hidden, num_layers=cfg.num_layers,
                            out_dim=cfg.out_dim, layer_name=ln,

@@ -5,9 +5,16 @@ through THIS framework's CLI, as one recorded session.
 
 Stages (each timed, wall-clock):
   synth   host: synthesize the 2.45M-node products-scale graph (real ogbn
-          files cannot be downloaded here — zero egress), labels/features
-          community-correlated so accuracy is meaningful, saved in the
-          documented npz-cache format
+          files cannot be downloaded here — zero egress).  HARD MODE
+          (round 5, VERDICT r4 ask #1): features are weakly informative
+          (sigma=6 noise — a feature-only MLP lands ~0.16 at 50k-node
+          calibration, scripts/hard_proxy_calibrate.py), labels require
+          neighborhood structure (0.85 intra-community homophily) and
+          carry a 10% annotation-noise fraction capping every method at
+          ~0.902 — the regime where the reference's ogbn-products
+          accuracy story lives and coarsening can actually hurt
+  probe   feature-only MLP accuracy on the synthesized graph (the
+          hard-mode evidence: must land well below the GNN numbers)
   ingest  CLI save-graphs: auto community proxy (>170k nodes → Leiden →
           165k cap) + coarsen + partition, cached content-hashed
   train   CLI train --train_fitgnn Gc_train_2_Gs_train (Gc full-graph on
@@ -32,17 +39,23 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:                # in-process stages (synth/probe)
+    sys.path.insert(0, REPO)
 
-N_NODES = 2_449_029          # ogbn-products node count
+# env override supports small-scale CPU rehearsals of the whole session
+N_NODES = int(os.environ.get("FITGNN_FLAGSHIP_NODES", 2_449_029))
 DEGREE = 25                  # ~30.6M directed edges (disk/RAM-bounded proxy
                              # of products' 61.9M undirected)
 N_CLASSES = 47               # ogbn-products classes
 N_FEATURES = 100             # ogbn-products feature dim
 COMM = 512                   # planted community size
-# flags every subcommand shares (the `common` argparse group)
+FEATURE_SIGMA = 6.0          # calibrated: feature-only MLP ~0.16 at 50k
+LABEL_NOISE = 0.1            # annotation noise: accuracy ceiling ~0.902
+# flags every subcommand shares (the `common` argparse group); ogbn_split
+# (8% train / 2% val / 90% test) is the reference's products protocol
 COMMON_ARGS = [
     "--dataset", "productsproxy", "--data_root", "dataset",
-    "--experiment", "random",
+    "--experiment", "ogbn_split",
     "--coarsening_ratio", "0.5",
     "--coarsening_method", "variation_neighborhoods",
     "--extra_node", "--use_community_detection", "--bucket_sizes",
@@ -50,40 +63,62 @@ COMMON_ARGS = [
     # extra GB-workspace program raises the tunnel worker's crash odds
     "--max_buckets", "2",
 ]
-MODEL_ARGS = ["--layer_name", "GCNConv", "--hidden", "512",
-              "--num_layers1", "2"]
-TRAIN_ARGS = [*COMMON_ARGS, *MODEL_ARGS, "--runs", "1"]
+
+
+def model_args(layer: str):
+    return ["--layer_name", layer, "--hidden", "512", "--num_layers1", "2"]
 
 
 def synth(ws: str):
-    """Products-scale synthetic graph with planted community structure:
-    85% intra-community edges, labels = community class, features =
-    class centroid + noise (so the task is learnable, like ogbn's)."""
+    """Hard-mode products-scale proxy (data.synthetic.planted_products_graph):
+    planted communities, weak features, structure-dependent labels, 10%
+    label noise — see the module docstring for the regime."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
     jax.config.update("jax_platforms", "cpu")
     from fitgnn_tpu.data.datasets import NodeDataset, save_npz_cache
+    from fitgnn_tpu.data.synthetic import planted_products_graph
 
-    rng = np.random.default_rng(0)
-    n, e = N_NODES, N_NODES * DEGREE // 2
-    rcv = rng.integers(0, n, e, dtype=np.int64)
-    comm = rcv // COMM
-    snd = np.where(rng.random(e) < 0.85,
-                   np.minimum(comm * COMM + rng.integers(0, COMM, e), n - 1),
-                   rng.integers(0, n, e, dtype=np.int64))
-    keep = snd != rcv
-    snd, rcv = snd[keep], rcv[keep]
-    y = ((np.arange(n) // COMM) % N_CLASSES).astype(np.int64)
-    centroids = rng.standard_normal((N_CLASSES, N_FEATURES)).astype(
-        np.float32)
-    x = centroids[y] + 1.5 * rng.standard_normal(
-        (n, N_FEATURES)).astype(np.float32)
+    x, snd, rcv, y = planted_products_graph(
+        N_NODES, degree=DEGREE, community_size=COMM, num_classes=N_CLASSES,
+        num_features=N_FEATURES, feature_sigma=FEATURE_SIGMA,
+        label_noise=LABEL_NOISE, seed=0)
     d = os.path.join(ws, "dataset", "productsproxy")
     os.makedirs(d, exist_ok=True)
     save_npz_cache(os.path.join(d, "productsproxy.npz"),
                    NodeDataset("productsproxy", x, snd, rcv, y))
-    print(f"synth: {n} nodes, {len(snd)} edges, {N_CLASSES} classes, "
-          f"F={N_FEATURES}", flush=True)
+    print(f"synth: {N_NODES} nodes, {len(snd)} edges, {N_CLASSES} classes, "
+          f"F={N_FEATURES}, sigma={FEATURE_SIGMA}, "
+          f"label_noise={LABEL_NOISE}", flush=True)
+
+
+def probe(ws: str):
+    """Feature-only MLP accuracy on the synthesized proxy (CPU): the
+    hard-mode evidence row.  Uses the ogbn_split train/test protocol on a
+    400k-node subsample (the probe sees features only, so a subsample is
+    representative; full 2.45M MLP training adds nothing)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from hard_proxy_calibrate import probe_accuracy
+    from fitgnn_tpu.data.datasets import load_npz_cache
+    from fitgnn_tpu.data.splits import splits_classification
+
+    ds = load_npz_cache(os.path.join(ws, "dataset", "productsproxy",
+                                     "productsproxy.npz"), "productsproxy")
+    rng = np.random.default_rng(0)
+    sub = rng.choice(len(ds.y), size=min(400_000, len(ds.y)), replace=False)
+    x, y = ds.x[sub], np.asarray(ds.y)[sub]
+    train, _, test = splits_classification(y, N_CLASSES, "ogbn_split", seed=0)
+    acc_lin = probe_accuracy(x, y, train, test, hidden=0,
+                             num_classes=N_CLASSES)
+    acc_mlp = probe_accuracy(x, y, train, test, hidden=256,
+                             num_classes=N_CLASSES)
+    out = {"feature_only_linear_acc": acc_lin, "feature_only_mlp_acc": acc_mlp}
+    json.dump(out, open(os.path.join(ws, "probe.json"), "w"))
+    print(f"probe: linear={acc_lin:.4f} mlp={acc_mlp:.4f} "
+          f"(47-class chance=0.021)", flush=True)
 
 
 def cli(ws: str, argv, platform=None, tee=None):
@@ -124,8 +159,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workspace", default="/tmp/flagship")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "synth", "ingest", "train",
+                    choices=["all", "synth", "probe", "ingest", "train",
                              "train-baseline", "infer", "memory"])
+    ap.add_argument("--layer_name", default="GCNConv",
+                    choices=["GCNConv", "SAGEConv", "GINConv", "GATConv"])
+    ap.add_argument("--cluster_attention", type=int, default=0,
+                    help="GATConv Gc phase: cluster-collapse dial "
+                         "(nodes per cluster; 0 = exact)")
+    ap.add_argument("--cluster_attention_exact", type=int, default=0)
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs2", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=512)
@@ -151,8 +192,15 @@ def main():
         print(f"[{name}] {timings[name]:.1f} s", flush=True)
 
     stages = ([args.stage] if args.stage != "all"
-              else ["synth", "ingest", "train", "train-baseline", "infer",
-                    "memory"])
+              else ["synth", "probe", "ingest", "train", "train-baseline",
+                    "infer", "memory"])
+    MODEL_ARGS = model_args(args.layer_name)
+    TRAIN_ARGS = [*COMMON_ARGS, *MODEL_ARGS, "--runs", "1"]
+    cluster_args = (["--cluster_attention", str(args.cluster_attention)]
+                    + (["--cluster_attention_exact",
+                        str(args.cluster_attention_exact)]
+                       if args.cluster_attention_exact else [])
+                    if args.cluster_attention else [])
 
     if "synth" in stages:
         npz = os.path.join(ws, "dataset", "productsproxy",
@@ -161,6 +209,12 @@ def main():
             print("synth: npz exists, skipping", flush=True)
         else:
             tic("synth", lambda: synth(ws))
+
+    if "probe" in stages:
+        if os.path.exists(os.path.join(ws, "probe.json")):
+            print("probe: probe.json exists, skipping", flush=True)
+        else:
+            tic("probe", lambda: probe(ws))
 
     if "ingest" in stages:
         # host stage: Leiden proxy + coarsen + partition into the cache
@@ -178,6 +232,7 @@ def main():
                      "--eval_chunk", str(args.eval_chunk),
                      "--chunk_budget", str(args.chunk_budget),
                      "--checkpoint_every", "5",
+                     *cluster_args,
                      *(["--resume"] if resume else []),
                      "--fused_epochs"],
                 platform=args.platform, tee="train.log")

@@ -41,6 +41,13 @@ import numpy as np
 
 # --- stated assumptions ----------------------------------------------------
 RATE_1CHIP = 97.1e6      # edges/s/chip — bench.py headline (BENCH_r02/r03)
+RATE_1CHIP_COLLAPSED = 129.8e6   # edges/s/chip with the cluster-factorized
+                         # straggler collapse (round-4 measured champion:
+                         # GCN 10.2 ms vs 13.6 ms exact, PERFORMANCE.md).
+                         # Round 5 composes this collapse into each shard's
+                         # hier INTERIOR (build_hier_plan interior_cluster),
+                         # so the per-shard compute term scales by the same
+                         # measured ratio — the *_collapsed columns below.
 BW_ICI = 45e9            # bytes/s per ICI link direction (v5e: 4 links/chip,
                          # 2-D torus; we conservatively credit ONE link per
                          # exchange direction)
@@ -139,15 +146,25 @@ def main():
         t1 = (e_proc_1 / RATE_1CHIP)
         eff_o = t1 / (P * t_overlap)
         eff_s = t1 / (P * t_serial)
+        # per-shard interior collapse (round 5): same exchange volumes,
+        # compute term at the measured collapsed single-chip rate
+        t_comp_c = float(e_loc.max()) / RATE_1CHIP_COLLAPSED
+        t_overlap_c = max(t_comp_c, t_ici, t_dcn)
+        eff_oc = (e_proc_1 / RATE_1CHIP_COLLAPSED) / (P * t_overlap_c)
         rows.append(dict(hosts=H, chips=P, t_compute_ms=t_comp * 1e3,
                          ici_mb_per_dev_layer=ici_mb,
                          dcn_mb_per_host_layer=dcn_mb,
                          t_ici_ms=t_ici * 1e3, t_dcn_ms=t_dcn * 1e3,
-                         eff_overlapped=eff_o, eff_serial=eff_s))
+                         eff_overlapped=eff_o, eff_serial=eff_s,
+                         t_compute_collapsed_ms=t_comp_c * 1e3,
+                         t_step_collapsed_ms=t_overlap_c * 1e3,
+                         eff_overlapped_collapsed=eff_oc))
         print(f"H={H} P={P:2d}: compute {t_comp*1e3:7.2f} ms | "
               f"ICI {ici_mb:7.2f} MB/dev/layer = {t_ici*1e3:6.2f} ms | "
               f"DCN {dcn_mb:7.2f} MB/host/layer = {t_dcn*1e3:6.2f} ms | "
-              f"eff {eff_o*100:5.1f}% overlapped / {eff_s*100:5.1f}% serial")
+              f"eff {eff_o*100:5.1f}% overlapped / {eff_s*100:5.1f}% serial"
+              f" | collapsed interior {t_comp_c*1e3:6.2f} ms, "
+              f"eff {eff_oc*100:5.1f}%")
 
     print("\nassumptions: rate_1chip=%.1fM edges/s (measured headline), "
           "ICI %.0f GB/s/dir (1 of 4 v5e links credited), DCN %.0f GB/s"

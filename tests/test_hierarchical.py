@@ -340,3 +340,123 @@ class TestHierGATTileInterior:
         np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_e),
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(float(g_t), float(g_e), rtol=2e-4)
+
+
+class TestHierInteriorClusterCollapse:
+    """VERDICT r4 ask #4: the single-chip cluster collapse composed into the
+    hier interior — each shard's straggler edges aggregate/attend onto its
+    LOCAL contiguous-K cluster summaries while halo/summary exchange is
+    unchanged.  K=1 makes the collapse exact (every cluster is one node:
+    the summary IS the sender), gating the full plumbing against the exact
+    per-edge path; a K>1 numpy oracle checks the group-mean semantics."""
+
+    def _plans(self, H, D, semantics, K, seed=0, min_block=10**9):
+        x, s, r, y = _community_graph(n=256, comm=32, f=12, seed=seed)
+        sg = _sharded_inputs(x, s, r, y, H * D)
+        if semantics == "att_unit":
+            w = (np.asarray(sg.edge_weight) > 0).astype(np.float32)
+        else:
+            w = np.asarray(sg.edge_weight)
+        cluster_of = np.arange(sg.num_nodes_global) // 32
+        base = dict(senders_global=np.asarray(sg.senders),
+                    receivers_local=np.asarray(sg.receivers),
+                    edge_weight=w, num_hosts=H, chips_per_host=D,
+                    nodes_per_shard=sg.nodes_per_shard,
+                    cluster_of=cluster_of)
+        plan_exact = build_hier_plan(interior_hybrid=False, **base)
+        plan_cl = build_hier_plan(
+            interior_hybrid=True, interior_semantics=semantics,
+            min_block_edges=min_block, interior_cluster=K, **base)
+        hyb = plan_cl.int_hybrid
+        assert hyb is not None and hyb.cluster_size == K
+        return sg, plan_exact, plan_cl
+
+    @pytest.mark.parametrize("H,D", [(1, 4), (2, 2)])
+    def test_static_k1_exact(self, H, D):
+        """cluster_agg at K=1 is the exact aggregation (summary == sender)."""
+        sg, plan_e, plan_c = self._plans(H, D, "gcn_norm", K=1)
+        mesh = make_hier_mesh(H, D)
+        h = np.asarray(sg.x).reshape(-1, sg.x.shape[-1])
+        out_e = _run_hier_aggregate(mesh, plan_e, sg, h)
+        out_c = _run_hier_aggregate(mesh, plan_c, sg, h)
+        np.testing.assert_allclose(out_c, out_e, rtol=2e-4, atol=2e-5)
+
+    def test_static_group_mean_oracle(self):
+        """K=32, H=1/D=4, all interior edges collapsed: every local edge
+        contributes w · mean(x over the sender's contiguous-32 local
+        group); cross-shard edges stay exact halo rows."""
+        K = 32
+        sg, _, plan_c = self._plans(1, 4, "gcn_norm", K=K)
+        mesh = make_hier_mesh(1, 4)
+        n_loc = sg.nodes_per_shard
+        xg = np.asarray(sg.x).reshape(-1, sg.x.shape[-1]).astype(np.float64)
+        s_g, r_g, w = _global_edges(sg)
+        out = np.zeros_like(xg)
+        for s_, r_, w_ in zip(s_g, r_g, w):
+            if s_ // n_loc == r_ // n_loc:                 # interior edge
+                p, slot = divmod(int(s_), n_loc)
+                g0 = slot // K
+                lo = p * n_loc + g0 * K
+                hi = p * n_loc + min((g0 + 1) * K, n_loc)
+                feat = xg[lo:hi].mean(axis=0)
+            else:                                          # exact halo
+                feat = xg[s_]
+            out[int(r_)] += w_ * feat
+        got = _run_hier_aggregate(mesh, plan_c, sg, xg.astype(np.float32))
+        np.testing.assert_allclose(got, out.astype(np.float32),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_attention_k1_exact(self):
+        """cluster_att at K=1 through the tile-attention interior equals the
+        exact per-edge hier GAT (summary row == sender row, count-weighted
+        softmax == per-edge softmax)."""
+        from fitgnn_tpu.parallel.hierarchical import hier_attention_aggregate
+        H, D = 2, 2
+        sg, plan_e, plan_c = self._plans(H, D, "att_unit", K=1)
+        mesh = make_hier_mesh(H, D)
+        rng = np.random.default_rng(3)
+        a_src = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+        a_dst = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+        SH = P((HOST_AXIS, CHIP_AXIS))
+
+        def run(plan):
+            plan_spec = jax.tree_util.tree_map(lambda _: SH, plan)
+
+            @jax.jit
+            @lambda f: shard_map(f, mesh=mesh, in_specs=(SH, plan_spec),
+                                 out_specs=SH, check_vma=False)
+            def agg(hb, plan_b):
+                pb = jax.tree_util.tree_map(lambda a: a[0], plan_b)
+                return hier_attention_aggregate(hb[0], pb, a_src, a_dst,
+                                                0.2)[None]
+
+            n_loc = sg.nodes_per_shard
+            return np.asarray(
+                agg(sg.x.reshape(plan.num_shards, n_loc, -1), plan)
+            ).reshape(-1, 12)
+
+        np.testing.assert_allclose(run(plan_c), run(plan_e),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_train_step_cluster_interior_learns(self):
+        """End-to-end hier GCN with a K=32 interior collapse trains."""
+        sg, _, plan = self._plans(2, 2, "gcn_norm", K=32, min_block=150)
+        mesh = make_hier_mesh(2, 2)
+        model = HierNodeModel(hidden=16, num_layers=2, out_dim=3,
+                              dropout_rate=0.0)
+        from fitgnn_tpu.parallel.hierarchical import init_hier_params
+        params = init_hier_params(
+            model, plan,
+            sg.x.reshape(plan.num_shards, sg.nodes_per_shard, -1),
+            jax.random.PRNGKey(0))
+        state = TrainState.create(apply_fn=model.apply, params=params,
+                                  tx=adam_l2(0.01, 0.0))
+        step = make_hier_train_step(mesh, model, plan)
+        with mesh:
+            losses = []
+            for i in range(8):
+                state, loss = step(state, sg.x, sg.y, sg.train_mask | True,
+                                   plan, jax.random.PRNGKey(i))
+                losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
