@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "programs) by merging adjacent size groups with "
                         "least added padding; 0 = one bucket per "
                         "power-of-two size")
+        sp.add_argument("--auto_config", action="store_true",
+                        help="derive the hand-tuned knobs (hybrid tile "
+                        "threshold, bucket cap, chunk budget) from the "
+                        "graph's structure via the ingest-time cost model "
+                        "(graph/planner.py); on every subcommand so the "
+                        "partition cache key stays consistent")
         return sp
 
     t = common(sub.add_parser("train"))
@@ -327,6 +333,28 @@ def checkpoint_path(task: str, output_dir: str, baseline: bool = False) -> str:
     return os.path.join(*parts, "model")
 
 
+def _apply_auto_config(args, num_nodes: int) -> None:
+    """--auto_config: route the hand-tuned knobs through the ingest-time
+    planner (graph/planner.py).  The tile threshold is resolved later,
+    inside optimize_coarse/build_optimized_graph, from the REORDERED tile
+    histogram; the operational knobs resolve here from the graph size."""
+    if not getattr(args, "auto_config", False):
+        return
+    if hasattr(args, "hybrid_threshold"):        # train subcommands only
+        args.hybrid_threshold = "auto"
+    big = num_nodes >= 1_000_000
+    if (big and getattr(args, "bucket_sizes", False)
+            and not getattr(args, "max_buckets", 0)):
+        # every extra size bucket adds co-resident executables; the remote
+        # worker holds ~2 reliably at products scale (round-4 flagship)
+        args.max_buckets = 2
+    if big and getattr(args, "chunk_budget", 1 << 28) == (1 << 28):
+        args.chunk_budget = 1 << 26
+    print(f"auto-config: tile threshold deferred to planner, "
+          f"max_buckets={getattr(args, 'max_buckets', 0) or 'default'}, "
+          f"chunk_budget={getattr(args, 'chunk_budget', 1 << 28)}")
+
+
 def cmd_train(args) -> int:
     from fitgnn_tpu.train import NodeTaskConfig, run_node_task
     from fitgnn_tpu.utils import results as R
@@ -364,6 +392,7 @@ def cmd_train(args) -> int:
         return _cmd_train_baseline(args)
 
     ds = _load_node(args)
+    _apply_auto_config(args, ds.num_nodes)
     if args.normalize_features:
         norms = np.abs(ds.x).sum(axis=1, keepdims=True)
         ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
@@ -497,6 +526,7 @@ def _cmd_train_baseline(args) -> int:
     import numpy as _np
 
     ds = _load_node(args)
+    _apply_auto_config(args, ds.num_nodes)
     classify = args.task == "node_cls"
     num_classes = ds.num_classes if classify else None
     train, val, test = _splits(args, ds, num_classes)
@@ -781,7 +811,7 @@ def _cmd_train_graph(args) -> int:
         lr=args.lr, weight_decay=args.weight_decay,
         prop=args.property if args.multi_prop else None, seed=args.seed,
         batch_size=args.batch_size, save_path=save_path)
-    res = run_graph_task(cfg, bt, bv, be)
+    res = run_graph_task(cfg, bt, bv, be, verbose=True)
     print(f"checkpoint saved: {save_path}")
     row = R.format_row(R.TRAIN_GRAPH_HEADER, {
         "dataset": args.dataset, "coarsening_method": args.coarsening_method,
@@ -827,6 +857,7 @@ def cmd_infer(args, baseline: bool = False) -> int:
         return _cmd_infer_graph(args)
 
     ds = _load_node(args)
+    _apply_auto_config(args, ds.num_nodes)
     classify = args.task == "node_cls"
     num_classes = ds.num_classes if classify else None
     train, val, test = _splits(args, ds, num_classes)
@@ -946,12 +977,53 @@ def _cmd_infer_graph(args) -> int:
     return 0
 
 
+def _cmd_memory_graph(args) -> int:
+    """Graph-task memory rows (reference memory tracking applied to the
+    graph families): per-chunk device footprint of the Gs view vs the Gc
+    view vs the largest single molecule, at ``--batch_size`` collation."""
+    import jax.tree_util as jtu
+    from fitgnn_tpu.data.datasets import load_graph_dataset
+    from fitgnn_tpu.data.graph_level import (collate_graph_level_batches,
+                                             prepare_graph_sample)
+    from fitgnn_tpu.utils import results as R
+
+    gds = load_graph_dataset(args.dataset, args.data_root)
+    samples = [prepare_graph_sample(
+        x, s, r, y_, reduction=1.0 - args.coarsening_ratio,
+        method=args.coarsening_method, mode=_node_mode(args), seed=args.seed)
+        for (x, s, r), y_ in zip(gds.graphs, gds.y)]
+    chunks = collate_graph_level_batches(samples, args.batch_size or 128)
+
+    def mb(tree):
+        return sum(np.asarray(a).size * np.asarray(a).dtype.itemsize
+                   for a in jtu.tree_leaves(tree)) / 1e6
+
+    b0 = chunks[0]
+    biggest = max(gds.graphs, key=lambda g: g[0].shape[0])
+    big_mb = (biggest[0].nbytes + biggest[1].nbytes + biggest[2].nbytes) / 1e6
+    rows = [("chunk_gs", mb(b0.gs)), ("chunk_gc", mb(b0.gc)),
+            ("max_graph", big_mb)]
+    for kind, val in rows:
+        row = R.format_row(R.MEMORY_HEADER, {
+            "dataset": args.dataset,
+            "coarsening_method": args.coarsening_method,
+            "coarsening_ratio": args.coarsening_ratio, "task": args.task,
+            "type": f"{kind}:{_node_mode(args)}",
+            "max_memory_usage_graphs": f"{val:.2f}"})
+        R.append_csv_row("memory_usage.csv", R.MEMORY_HEADER, row)
+        print(f"memory_usage.csv <- {row}")
+    return 0
+
+
 def cmd_memory(args) -> int:
     from fitgnn_tpu.graph import build_graph
     from fitgnn_tpu.bench.memory import memory_report
     from fitgnn_tpu.utils import results as R
 
+    if args.task in ("graph_cls", "graph_reg"):
+        return _cmd_memory_graph(args)
     ds = _load_node(args)
+    _apply_auto_config(args, ds.num_nodes)
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)
@@ -983,6 +1055,7 @@ def cmd_stats(args) -> int:
 def cmd_save_graphs(args) -> int:
     """Warm the partition-artifact cache (_partition is load-or-compute)."""
     ds = _load_node(args)
+    _apply_auto_config(args, ds.num_nodes)
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)

@@ -139,6 +139,39 @@ def random_regression_graph(num_nodes: int = 400, num_features: int = 32,
     return x, senders, receivers, y
 
 
+def qm9_like_dataset(num_graphs: int = 130_831, min_nodes: int = 9,
+                     max_nodes: int = 29, num_features: int = 11,
+                     seed: int = 0):
+    """QM9-scale molecule proxy (reference ``dataset_info.csv:13``:
+    130 831 graphs, ~18 heavy atoms each): ring backbone + density-varying
+    chords, with BOTH a learnable scalar regression target (edge density +
+    feature mean + noise — requires reading structure AND features) and a
+    2-class structural label (sparse vs dense).  Returns
+    (graphs, y_reg, y_cls) with graphs = list of (x, senders, receivers).
+    Vectorized synthesis: per-graph python loops at 130k graphs cost
+    minutes; this draws every graph's arrays from shared pools."""
+    rng = np.random.default_rng(seed)
+    ns = rng.integers(min_nodes, max_nodes + 1, num_graphs)
+    dens = rng.random(num_graphs)                 # 0 = sparse, 1 = dense
+    y_cls = (dens > 0.5).astype(np.int32)
+    graphs = []
+    y_reg = np.empty(num_graphs, dtype=np.float32)
+    noise = 0.05 * rng.standard_normal(num_graphs).astype(np.float32)
+    for i in range(num_graphs):
+        n = int(ns[i])
+        extra = int(n * (0.5 + 3.0 * dens[i]))
+        es = rng.integers(0, n, extra)
+        er = rng.integers(0, n, extra)
+        keep = es != er
+        s = np.concatenate([np.arange(n), es[keep]]).astype(np.int32)
+        r = np.concatenate([(np.arange(n) + 1) % n, er[keep]]).astype(
+            np.int32)
+        x = rng.normal(size=(n, num_features)).astype(np.float32)
+        graphs.append((x, s, r))
+        y_reg[i] = (len(s) / n) + 0.5 * float(x.mean()) + noise[i]
+    return graphs, y_reg, y_cls
+
+
 def random_graph_dataset(num_graphs: int = 60, min_nodes: int = 10,
                          max_nodes: int = 30, num_features: int = 8,
                          num_classes: int = 2, seed: int = 0):

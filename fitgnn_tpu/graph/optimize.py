@@ -96,6 +96,16 @@ def build_optimized_graph(x: np.ndarray, senders: np.ndarray,
     semantics = _LAYER_SEMANTICS[layer_name]
     w_op = _operator_weights(g.senders, g.receivers, g.edge_weight,
                              g.num_nodes_padded, semantics)
+    if min_block_edges == "auto":
+        from fitgnn_tpu.graph.planner import plan_config
+        real_e = np.asarray(w_op) > 0
+        pc = plan_config(np.asarray(g.senders, np.int64)[real_e],
+                         np.asarray(g.receivers, np.int64)[real_e],
+                         g.num_nodes_padded, layer_name=layer_name,
+                         cluster=cluster_att or cluster_agg)
+        min_block_edges = pc.min_block_edges
+        print(f"auto-config: tile threshold {min_block_edges} "
+              f"(predicted {pc.predicted_ms:.1f} ms hybrid cost)")
     hyb = build_hybrid(np.asarray(g.senders, dtype=np.int64),
                        np.asarray(g.receivers, dtype=np.int64),
                        w_op, g.num_nodes_padded,
@@ -164,6 +174,17 @@ def optimize_coarse(coarse, *, min_block_edges: int = 48, tile_dtype=None,
 
     semantics = _LAYER_SEMANTICS[layer_name]
     w_op = _operator_weights(s2, r2, w2, n_pad, semantics)
+    if min_block_edges == "auto":
+        # cost-model threshold from the REORDERED tile histogram (the
+        # planner's test set is the measured round-2..4 champions)
+        from fitgnn_tpu.graph.planner import plan_config
+        real_e = w_op > 0
+        pc = plan_config(s2[real_e], r2[real_e], n_pad,
+                         layer_name=layer_name,
+                         cluster=cluster_att or cluster_agg)
+        min_block_edges = pc.min_block_edges
+        print(f"auto-config: tile threshold {min_block_edges} "
+              f"(predicted {pc.predicted_ms:.1f} ms hybrid cost)")
     hyb = build_hybrid(s2, r2, w_op, n_pad,
                        min_block_edges=min_block_edges,
                        tile_dtype=tile_dtype,

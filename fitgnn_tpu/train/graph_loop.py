@@ -168,8 +168,8 @@ def _reg_norm(batches, prop: Optional[int]) -> float:
     return float(max(np.std(np.concatenate(vals)), 1e-12))
 
 
-def run_graph_task(cfg: GraphTaskConfig, train_b, val_b, test_b
-                   ) -> GraphTaskResult:
+def run_graph_task(cfg: GraphTaskConfig, train_b, val_b, test_b,
+                   verbose: bool = False) -> GraphTaskResult:
     """``train_b``/``val_b``/``test_b``: a GraphLevelBatch, or a list of
     identically-shaped chunks (see ``collate_graph_level_batches``) — one
     optimizer step per train chunk per epoch (the reference's DataLoader
@@ -226,13 +226,29 @@ def run_graph_task(cfg: GraphTaskConfig, train_b, val_b, test_b
             return True
         return False
 
+    import time as _time
+
+    def _decompose(tag, ep_times):
+        if verbose and len(ep_times) > 1:
+            steady = float(np.median(ep_times[1:]))
+            print(f"[{tag}] decomposition: first epoch (incl. compile) "
+                  f"{ep_times[0]:.1f}s, steady {steady:.2f}s/epoch "
+                  f"(median of {len(ep_times)-1})", flush=True)
+
     setup = cfg.exp_setup
     if setup in ("Gc_train_2_Gc_infer", "Gc_train_2_Gs_infer",
                  "Gc_train_2_Gs_train"):
+        ep_times, t0 = [], _time.perf_counter()
         for epoch in range(cfg.epochs1):
             _, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
             state, _ = train_epoch(state, step_rng, "gc")
             val_loss, _ = eval_split(state, val_bs, "gc")
+            t1 = _time.perf_counter()
+            ep_times.append(t1 - t0)
+            t0 = t1
+            if verbose:
+                print(f"[Gc graph] epoch {epoch}: val={float(val_loss):.4f}"
+                      f" {ep_times[-1]:.1f}s", flush=True)
             if setup == "Gc_train_2_Gc_infer":
                 test_loss, test_acc = eval_split(state, test_bs, "gc")
                 if track(state, float(val_loss), float(test_loss),
@@ -242,6 +258,7 @@ def run_graph_task(cfg: GraphTaskConfig, train_b, val_b, test_b
                 if float(val_loss) < best["val"] or epoch == 0:
                     best["val"] = float(val_loss)
                     best_params = state.params
+        _decompose("Gc graph", ep_times)
 
     if setup == "Gc_train_2_Gs_infer":
         # weight transfer (same pytree) then evaluate the Gs view
@@ -253,15 +270,25 @@ def run_graph_task(cfg: GraphTaskConfig, train_b, val_b, test_b
         if setup == "Gc_train_2_Gs_train":
             state = state.replace(params=best_params)
         best["val"] = np.inf
+        ep_times, t0 = [], _time.perf_counter()
         for epoch in range(cfg.epochs2):
             _, step_rng = jax.random.split(
                 jax.random.fold_in(rng, 10_000 + epoch))
             state, _ = train_epoch(state, step_rng, "gs")
             val_loss, _ = eval_split(state, val_bs, "gs")
             test_loss, test_acc = eval_split(state, test_bs, "gs")
+            t1 = _time.perf_counter()
+            ep_times.append(t1 - t0)
+            t0 = t1
+            if verbose:
+                print(f"[Gs graph] epoch {epoch}: val={float(val_loss):.4f}"
+                      f" test={float(test_loss):.4f} "
+                      f"acc={float(test_acc):.4f} {ep_times[-1]:.1f}s",
+                      flush=True)
             if track(state, float(val_loss), float(test_loss),
                      float(test_acc)):
                 best_params = state.params
+        _decompose("Gs graph", ep_times)
 
     if cfg.save_path is not None:
         from fitgnn_tpu.train.checkpoint import save_params
