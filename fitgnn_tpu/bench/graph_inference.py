@@ -36,15 +36,14 @@ def graph_inference_benchmark(model: GraphModel, params,
         sig = tuple(a.shape for a in jax.tree_util.tree_leaves(b))
         if sig not in dev_times:
             if view == "gc":
-                fwd_c = lambda c: model.apply(  # noqa: E731
-                    params, b.gc.x + c, b.gc, b.gc_graph_ids, 1)
+                fwd_c = lambda c, p, bb: model.apply(  # noqa: E731
+                    p, bb.gc.x + c, bb.gc, bb.gc_graph_ids, 1)
             else:
-                fwd_c = lambda c: model.apply(  # noqa: E731
-                    params,
-                    b.gs._replace(x=b.gs.x + c), b.gs_graph_ids, 1,
+                fwd_c = lambda c, p, bb: model.apply(  # noqa: E731
+                    p, bb.gs._replace(x=bb.gs.x + c), bb.gs_graph_ids, 1,
                     method=GraphModel.forward_subgraphs)
             dev_times[sig] = device_seconds_per_call(
-                fwd_c, np.asarray(b.gc.x).dtype)
+                fwd_c, np.asarray(b.gc.x).dtype, operands=(params, b))
         shape_counts[sig] = shape_counts.get(sig, 0) + 1
         t0 = time.perf_counter()
         out = fwd(params, b)

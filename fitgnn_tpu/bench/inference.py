@@ -36,29 +36,34 @@ class InferenceReport:
 _DEV_ITERS = (8, 64)
 
 
-def device_seconds_per_call(fwd_c, dtype, iters=_DEV_ITERS,
+def device_seconds_per_call(fwd_c, dtype, operands=(), iters=_DEV_ITERS,
                             repeats: int = 3) -> float:
-    """Generic two-point scan timing: ``fwd_c(c)`` maps a scalar carry
-    perturbation to the forward's output array (see
-    ``_device_seconds_per_forward`` for the method)."""
+    """Generic two-point scan timing: ``fwd_c(c, *operands)`` maps a scalar
+    carry perturbation (plus the runtime operands) to the forward's output
+    array (see ``_device_seconds_per_forward`` for the method).
+
+    ``operands`` MUST carry every array the forward reads — a closed-over
+    array is traced as a program CONSTANT, and at full-graph scale the
+    serialized executable blows past remote-compile payload limits
+    (HTTP 413 on the tunnel — the round-4 baked-constant lesson)."""
     import jax.numpy as jnp
 
     def run_k(k):
-        def body(c, _):
-            out = fwd_c(c)
-            return c + out.sum().astype(dtype) * 1e-38, ()
+        def run(c0, *ops):
+            def body(c, _):
+                out = fwd_c(c, *ops)
+                return c + out.sum().astype(dtype) * 1e-38, ()
 
-        def run(c0):
             c, _ = jax.lax.scan(body, c0, None, length=k)
             return c
 
         rj = jax.jit(run)
         c0 = jnp.zeros((), dtype)
-        rj(c0).block_until_ready()            # compile outside timing
+        rj(c0, *operands).block_until_ready()  # compile outside timing
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            rj(c0).block_until_ready()
+            rj(c0, *operands).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -82,8 +87,9 @@ def _device_seconds_per_forward(fwd, params, x, g, iters=_DEV_ITERS,
     The scan body feeds an O(1e-38) carry perturbation into the input so
     XLA cannot hoist the loop-invariant forward out of the scan.
     """
-    return device_seconds_per_call(lambda c: fwd(params, x + c, g), x.dtype,
-                                   iters=iters, repeats=repeats)
+    return device_seconds_per_call(
+        lambda c, p, xx, gg: fwd(p, xx + c, gg), x.dtype,
+        operands=(params, x, g), iters=iters, repeats=repeats)
 
 
 def _sample_nodes(mask: np.ndarray, num_samples: int, seed: int) -> np.ndarray:

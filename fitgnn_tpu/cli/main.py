@@ -992,7 +992,8 @@ def _cmd_memory_graph(args) -> int:
         x, s, r, y_, reduction=1.0 - args.coarsening_ratio,
         method=args.coarsening_method, mode=_node_mode(args), seed=args.seed)
         for (x, s, r), y_ in zip(gds.graphs, gds.y)]
-    chunks = collate_graph_level_batches(samples, args.batch_size or 128)
+    chunks = collate_graph_level_batches(
+        samples, getattr(args, "batch_size", 0) or 128)
 
     def mb(tree):
         return sum(np.asarray(a).size * np.asarray(a).dtype.itemsize

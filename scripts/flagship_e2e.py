@@ -126,9 +126,13 @@ def cli(ws: str, argv, platform=None, tee=None):
     parts = [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
                       if p]
     # the TPU tunnel's PJRT plugin registers via sitecustomize on this path;
-    # losing it silently downgrades the run to CPU-only backends
+    # losing it silently downgrades the run to CPU-only backends.  For an
+    # EXPLICIT cpu run the opposite holds: the plugin overrides
+    # JAX_PLATFORMS=cpu, so it must be dropped (round-5 rehearsal trap).
     axon = "/root/.axon_site"
-    if os.path.isdir(axon) and axon not in parts:
+    if platform == "cpu":
+        parts = [p for p in parts if p != axon]
+    elif os.path.isdir(axon) and axon not in parts:
         parts.append(axon)
     env["PYTHONPATH"] = os.pathsep.join(parts)
     if platform:

@@ -34,9 +34,12 @@ if REPO not in sys.path:
 
 N_GRAPHS = int(os.environ.get("FITGNN_GRAPHFLAG_GRAPHS", 130_831))
 
-COMMON = ["--data_root", "dataset", "--coarsening_ratio", "0.5",
-          "--coarsening_method", "variation_neighborhoods", "--extra_node",
-          "--layer_name", "GCNConv", "--hidden", "64", "--num_layers1", "2"]
+# flags shared by EVERY subcommand (the `common` argparse group)
+BASE = ["--data_root", "dataset", "--coarsening_ratio", "0.5",
+        "--coarsening_method", "variation_neighborhoods", "--extra_node"]
+# model flags — train/infer only (memory/stats do not define them)
+COMMON = [*BASE, "--layer_name", "GCNConv", "--hidden", "64",
+          "--num_layers1", "2"]
 
 
 def synth(ws: str):
@@ -61,7 +64,9 @@ def cli(ws: str, argv, platform=None, tee="cli.log"):
     parts = [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
                       if p]
     axon = "/root/.axon_site"
-    if os.path.isdir(axon) and axon not in parts:
+    if platform == "cpu":                   # plugin overrides JAX_PLATFORMS
+        parts = [p for p in parts if p != axon]
+    elif os.path.isdir(axon) and axon not in parts:
         parts.append(axon)
     env["PYTHONPATH"] = os.pathsep.join(parts)
     if platform:
@@ -140,8 +145,7 @@ def main():
     if "memory" in stages:
         tic("memory", lambda: cli(
             ws, ["memory", "--task", "graph_reg", "--dataset", "qm9proxy",
-                 *COMMON, "--batch_size", str(args.batch_size)],
-            platform="cpu", tee="memory.log"))
+                 *BASE], platform="cpu", tee="memory.log"))
 
     out = os.path.join(ws, "timings.json")
     existing = {}
