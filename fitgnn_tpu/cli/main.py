@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--train_ratio", type=float, default=0.3)
     t.add_argument("--val_ratio", type=float, default=0.2)
     t.add_argument("--lr", type=float, default=0.01)
+    t.add_argument("--lr2", type=float, default=None,
+                   help="Gs-phase learning rate (default: --lr). MB mode "
+                        "takes ~subgraphs/batch_size optimizer steps per "
+                        "epoch; at products scale set ~lr/5 to keep the "
+                        "chunked phase stable")
     t.add_argument("--weight_decay", type=float, default=5e-4)
     t.add_argument("--gradient_method", type=str, default="GD",
                    choices=["GD", "MB"])
@@ -449,6 +454,7 @@ def cmd_train(args) -> int:
         out_dim=num_classes if task == "classification" else 1,
         exp_setup=args.exp_setup,
         epochs1=args.epochs1, epochs2=args.epochs2, lr=args.lr,
+        lr2=args.lr2,
         weight_decay=args.weight_decay, gradient_method=args.gradient_method,
         batch_size=args.batch_size, loss_reduction=args.loss_reduction,
         runs=args.runs, seed=args.seed, logdir=save_dir,

@@ -81,6 +81,15 @@ class NodeTaskConfig:
     epochs1: int = 100
     epochs2: int = 300
     lr: float = 0.01
+    lr2: Optional[float] = None           # Gs-phase learning rate (None =
+                                          # lr).  MB mode takes ~E/batch
+                                          # optimizer steps per epoch where
+                                          # GD takes one; at products scale
+                                          # (~100 chunks/epoch) lr=0.01
+                                          # destabilizes the hard-regime Gs
+                                          # phase (round-5 diag: MB acc
+                                          # 0.74 vs GD 0.86 at 20k, 0.22 at
+                                          # 100k) — set lr2 ~lr/5 for MB
     weight_decay: float = 5e-4
     gradient_method: str = "GD"           # or "MB"
     loss_reduction: str = "mean"          # or "sum" (reference flag)
@@ -600,10 +609,23 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                 if cfg.exp_setup == "Gc_train_2_Gs_train":
                     # weight transfer: resume from the best Gc params
                     state = state.replace(params=best_params)
+                if cfg.lr2 is not None and cfg.lr2 != cfg.lr:
+                    # fresh optimizer at the phase boundary: the Gs phase
+                    # runs at its own rate (and Gc's Adam moments are
+                    # calibrated to full-graph gradients, not chunked ones)
+                    state = steps.TrainState.create(
+                        apply_fn=state.apply_fn, params=state.params,
+                        tx=steps.adam_l2(cfg.lr2, cfg.weight_decay))
                 best_val = np.inf
                 # phase boundary: a resumed session skips the Gc phase
                 save_resume(state, state.params, best_val, rng,
                             "gs", -1, run)
+            elif cfg.lr2 is not None and cfg.lr2 != cfg.lr:
+                # resumed mid-Gs: the restored opt arrays are adam-shaped
+                # either way, but the tx function is rebuilt from cfg — at
+                # the Gs rate, not the Gc one
+                state = state.replace(
+                    tx=steps.adam_l2(cfg.lr2, cfg.weight_decay))
             since_best = gs_sb
             t_gs = time.perf_counter()
             gs_ep_times = []

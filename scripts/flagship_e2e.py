@@ -59,9 +59,10 @@ COMMON_ARGS = [
     "--coarsening_ratio", "0.5",
     "--coarsening_method", "variation_neighborhoods",
     "--extra_node", "--use_community_detection", "--bucket_sizes",
-    # 2 buckets = 2 MB-train + 2 eval executables instead of 5+5: every
-    # extra GB-workspace program raises the tunnel worker's crash odds
-    "--max_buckets", "2",
+    # round 5: the planner derives the operational knobs (bucket cap 2,
+    # 1<<26 chunk budget at this scale, tile threshold from the coarse
+    # graph's histogram) — no hand-tuned values in the driver
+    "--auto_config",
 ]
 
 
@@ -173,12 +174,17 @@ def main():
     ap.add_argument("--cluster_attention_exact", type=int, default=0)
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs2", type=int, default=20)
+    ap.add_argument("--lr2", type=float, default=0.002,
+                    help="Gs-phase (MB) learning rate: ~100 chunked "
+                         "optimizer steps per epoch at products scale "
+                         "destabilize at the full-batch default 0.01 "
+                         "(round-5 hard-mode diagnosis)")
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--eval_chunk", type=int, default=8192)
-    # ~256 MB per (chunk, E_pad, hidden) message buffer: the Gc program +
-    # 5 MB-train + 5 eval executables must COEXIST on one chip; 1<<28
-    # workspaces measured to crash the tunnel worker at program load
-    ap.add_argument("--chunk_budget", type=int, default=1 << 26)
+    ap.add_argument("--chunk_budget", type=int, default=0,
+                    help="0 = let --auto_config pick (1<<26 at this "
+                         "scale — the round-4 tunnel-worker limit, now "
+                         "encoded in graph/planner.py)")
     ap.add_argument("--retries", type=int, default=2,
                     help="extra attempts for the train stage when the "
                          "tunnel worker dies mid-run")
@@ -232,9 +238,11 @@ def main():
                      "--epochs1", str(args.epochs1),
                      "--epochs2", str(args.epochs2),
                      "--gradient_method", "MB",
+                     "--lr2", str(args.lr2),
                      "--batch_size", str(args.batch_size),
                      "--eval_chunk", str(args.eval_chunk),
-                     "--chunk_budget", str(args.chunk_budget),
+                     *(["--chunk_budget", str(args.chunk_budget)]
+                       if args.chunk_budget else []),
                      "--checkpoint_every", "5",
                      *cluster_args,
                      *(["--resume"] if resume else []),

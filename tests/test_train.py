@@ -94,3 +94,35 @@ def test_multi_run_summary():
     assert len(res.runs) == 3
     assert 0.0 <= s["ave_acc"] <= 1.0
     assert s["best_acc"] >= s["top_10_acc"] - 1e-9
+
+
+def test_lr2_gs_phase_rate(tmp_path):
+    """--lr2: the Gs phase rebuilds the optimizer at its own rate (round-5
+    hard-mode diagnosis: MB chunked steps destabilize at the full-batch
+    lr).  Gate: lr2 run completes, learns, and differs from the lr2=None
+    run (different optimizer trajectory)."""
+    from fitgnn_tpu.data.splits import splits_classification
+    from fitgnn_tpu.data.synthetic import sbm_graph
+    from fitgnn_tpu.partition import coarsen_and_partition
+    from fitgnn_tpu.train import NodeTaskConfig, run_node_task
+
+    x, s, r, y = sbm_graph(num_nodes=300, num_classes=4, num_features=32,
+                           p_in=0.08, p_out=0.004, feature_noise=1.5, seed=0)
+    train, val, test = splits_classification(y, 4, "random", seed=0)
+    ds = coarsen_and_partition(
+        x, s, r, y, reduction=0.5, method="variation_neighborhoods",
+        mode="extra_node", task="classification", num_classes=4,
+        train_mask=train, val_mask=val, test_mask=test, seed=0)
+
+    def run(lr2):
+        cfg = NodeTaskConfig(
+            layer_name="GCNConv", hidden=16, num_layers=2, out_dim=4,
+            exp_setup="Gc_train_2_Gs_train", epochs1=20, epochs2=20,
+            runs=1, seed=0, gradient_method="MB", batch_size=32, lr2=lr2)
+        return run_node_task(cfg, ds.coarse, ds.subgraphs)
+
+    res_default = run(None)
+    res_lr2 = run(0.002)
+    assert np.isfinite(res_lr2.runs[0].test_acc)
+    assert res_lr2.runs[0].test_acc > 0.5
+    assert res_lr2.runs[0].test_loss != res_default.runs[0].test_loss
