@@ -347,7 +347,13 @@ def _apply_auto_config(args, num_nodes: int) -> None:
         return
     if hasattr(args, "hybrid_threshold"):        # train subcommands only
         args.hybrid_threshold = "auto"
-    big = num_nodes >= 1_000_000
+    # num_nodes arrives AFTER the community proxy (165k at products scale);
+    # what the executable-count/chunk limits actually track is the SUBGRAPH
+    # count ≈ metanodes ≈ nodes · (1 - ratio) (round-4 flagship: 82k
+    # subgraphs is what the tunnel worker could not hold at 5 buckets)
+    est_subgraphs = int(num_nodes
+                        * (1.0 - getattr(args, "coarsening_ratio", 0.5)))
+    big = num_nodes >= 1_000_000 or est_subgraphs >= 50_000
     if (big and getattr(args, "bucket_sizes", False)
             and not getattr(args, "max_buckets", 0)):
         # every extra size bucket adds co-resident executables; the remote

@@ -546,10 +546,13 @@ def run_node_task(cfg: NodeTaskConfig, coarse: Optional[CoarseData],
                 t_compile = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 out = compiled(*args[:7])
-                out = jax.block_until_ready(out)
-                t_exec = time.perf_counter() - t0
                 state, best_params, best_val, tr_losses, val_losses = out
+                # time through a VALUE fetch: on the remote-attached TPU
+                # block_until_ready returns when the handle exists, not
+                # when the computation completes (the bench.py result-
+                # caching trap) — only fetching a scalar is honest
                 best_val = float(best_val)
+                t_exec = time.perf_counter() - t0
                 vprint(f"[Gc fused] {cfg.epochs1} epochs: "
                        f"best_val={best_val:.4f} "
                        f"compile={t_compile:.1f}s "
