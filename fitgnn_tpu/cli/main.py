@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "programs) by merging adjacent size groups with "
                         "least added padding; 0 = one bucket per "
                         "power-of-two size")
+        sp.add_argument("--normalize_features", action="store_true",
+                        help="row-wise L1 feature normalization (the "
+                        "reference's transform); on the COMMON group so "
+                        "train and the timed infer/memory paths see the "
+                        "same features (a checkpoint trained normalized "
+                        "must never be timed on raw features)")
         sp.add_argument("--auto_config", action="store_true",
                         help="derive the hand-tuned knobs (hybrid tile "
                         "threshold, bucket cap, chunk budget) from the "
@@ -90,7 +96,6 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["GD", "MB"])
     t.add_argument("--loss_reduction", type=str, default="mean",
                    choices=["mean", "sum"])
-    t.add_argument("--normalize_features", action="store_true")
     t.add_argument("--multi_prop", action="store_true")
     t.add_argument("--property", type=int, default=0)
     t.add_argument("--train_fitgnn", action="store_true")
@@ -248,6 +253,12 @@ def _load_node(args):
         use_comm = True
     if use_comm:
         ds = apply_community_proxy(ds, COMMUNITY_NODE_CAP, seed=args.seed)
+    if getattr(args, "normalize_features", False):
+        # one home for the transform: every subcommand that loads the
+        # dataset (train, infer, memory, save-graphs, stats) must see the
+        # SAME features, and ds.x feeds the partition cache key
+        norms = np.abs(ds.x).sum(axis=1, keepdims=True)
+        ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
     return ds
 
 
@@ -404,9 +415,6 @@ def cmd_train(args) -> int:
 
     ds = _load_node(args)
     _apply_auto_config(args, ds.num_nodes)
-    if args.normalize_features:
-        norms = np.abs(ds.x).sum(axis=1, keepdims=True)
-        ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
     num_classes = ds.num_classes if args.task == "node_cls" else None
     train, val, test = _splits(args, ds, num_classes)
     part = _partition(args, ds, train, val, test, num_classes)
@@ -542,9 +550,6 @@ def _cmd_train_baseline(args) -> int:
     classify = args.task == "node_cls"
     num_classes = ds.num_classes if classify else None
     train, val, test = _splits(args, ds, num_classes)
-    if args.normalize_features:
-        norms = np.abs(ds.x).sum(axis=1, keepdims=True)
-        ds.x = (ds.x / np.maximum(norms, 1e-12)).astype(np.float32)
     if args.num_devices > 1:
         return _cmd_train_baseline_dist(args, ds, train, val, test,
                                         num_classes)

@@ -67,7 +67,11 @@ COMMON_ARGS = [
 
 
 def model_args(layer: str):
-    return ["--layer_name", layer, "--hidden", "512", "--num_layers1", "2"]
+    # GAT: single-head attention at width 512 trains poorly in the hard
+    # regime (20k calibration: h512 0.41-0.72 vs h256 0.89 at 100 epochs);
+    # width 256 + feature normalization is the calibrated GAT config
+    hidden = "256" if layer == "GATConv" else "512"
+    return ["--layer_name", layer, "--hidden", hidden, "--num_layers1", "2"]
 
 
 def synth(ws: str):
@@ -172,6 +176,11 @@ def main():
                     help="GATConv Gc phase: cluster-collapse dial "
                          "(nodes per cluster; 0 = exact)")
     ap.add_argument("--cluster_attention_exact", type=int, default=0)
+    ap.add_argument("--normalize_features", action="store_true",
+                    help="row-L1 feature normalization on every "
+                         "subcommand (required for the GAT sessions: "
+                         "unnormalized sigma=6 features blow up the "
+                         "attention scores at width 512)")
     ap.add_argument("--epochs1", type=int, default=40)
     ap.add_argument("--epochs2", type=int, default=20)
     ap.add_argument("--lr2", type=float, default=0.002,
@@ -204,6 +213,9 @@ def main():
     stages = ([args.stage] if args.stage != "all"
               else ["synth", "probe", "ingest", "train", "train-baseline",
                     "infer", "memory"])
+    if args.normalize_features or args.layer_name == "GATConv":
+        if "--normalize_features" not in COMMON_ARGS:
+            COMMON_ARGS.append("--normalize_features")
     MODEL_ARGS = model_args(args.layer_name)
     TRAIN_ARGS = [*COMMON_ARGS, *MODEL_ARGS, "--runs", "1"]
     cluster_args = (["--cluster_attention", str(args.cluster_attention)]
