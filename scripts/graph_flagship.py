@@ -98,6 +98,11 @@ def main():
     ap.add_argument("--epochs1", type=int, default=5)
     ap.add_argument("--epochs2", type=int, default=5)
     ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=0.002,
+                    help="chunked graph-level training takes "
+                         "~graphs/batch_size optimizer steps per epoch "
+                         "(511 at QM9 scale) — the full-batch default "
+                         "0.01 destabilizes graph_cls (round-5 session)")
     ap.add_argument("--num_test_samples", type=int, default=64)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -124,6 +129,7 @@ def main():
     train_common = [*COMMON, "--exp_setup", "Gc_train_2_Gs_train",
                     "--epochs1", str(args.epochs1),
                     "--epochs2", str(args.epochs2),
+                    "--lr", str(args.lr),
                     "--batch_size", str(args.batch_size), "--runs", "1",
                     "--train_fitgnn"]
     if "train-reg" in stages:
